@@ -1,0 +1,36 @@
+"""piml_tpu — a TPU-native (JAX/XLA/Pallas) physics-infused crowd-simulation framework.
+
+Re-designed from scratch with the capabilities of tsinghua-fib-lab/PIML
+(KDD'22 "Physics-infused Machine Learning for Crowd Simulation"):
+
+- ``scene``    — the v2.2 ``.npy`` scene codec and the fixed-capacity masked
+                 :class:`~piml_tpu.scene.Scene` pytree (replaces the reference's
+                 NaN-encoded dynamically grown torch tensors,
+                 reference: src/data/data.py).
+- ``physics``  — pure-function feature kernels: heading fill, pairwise relative
+                 features with field-of-view top-k selection, collision
+                 detection / labels, polar transforms, analytic social forces
+                 (reference: src/data/data.py:343-601, src/utils/utils.py:31-100).
+- ``models``   — the model zoo: MLP/ResDNN blocks, the PINNSF family, the
+                 GNS-style Base* ablations and the discovered MLAPM symbolic
+                 model (reference: src/models/model.py, src/models/mlapm.py).
+- ``engine``   — the single jitted rollout engine: one ``lax.scan`` step shared
+                 by training, evaluation and synthetic generation
+                 (reference: src/models/simulators.py:556-832).
+- ``train``    — optax training loops for pointwise pretraining and
+                 differentiable multi-step finetuning with the full loss stack.
+- ``data``     — dataset views (time-indexed / pointwise / channeled) and the
+                 YAML-driven dataset orchestration (reference: src/data/dataset.py).
+- ``metrics``  — masked MAE, jitted log-domain Sinkhorn OT, multi-kernel MMD,
+                 collision counts (reference: src/functions/metrics.py).
+- ``gen``      — procedural scenario library and the social-force synthetic
+                 data generator (reference: src/data/scenarios.py).
+- ``sr``       — symbolic-regression pipeline: message extraction, filtering
+                 and force-law fitting (reference: src/symbolic_regression.py).
+- ``exp``      — CLI entry points, YAML grid search, sweep runner with retry
+                 (reference: src/main.py, src/run_experiments.py).
+"""
+
+__version__ = "0.1.0"
+
+from piml_tpu.config import PIMLConfig  # noqa: F401

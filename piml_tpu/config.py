@@ -1,0 +1,217 @@
+"""One coherent configuration dataclass for the whole framework.
+
+The reference spreads configuration over ~60 argparse flags
+(reference: src/main.py:26-112), YAML data configs (src/data/dataset.py:45-53)
+and YAML grid configs (src/utils/grid_search.py:30-54), with documented drift
+between the flag names used by the shipped configs and the argparse surface
+(e.g. ``f_batch_size`` vs ``ft_batch_size``, src/main.py:40,153).  Here a single
+dataclass serves all three roles; YAML and CLI overrides map onto its fields,
+and legacy aliases are accepted on load.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+# Aliases from the reference's drifted flag surface (src/main.py vs exp_configs/*.yaml)
+_LEGACY_ALIASES = {
+    "f_batch_size": "ft_batch_size",
+    "patience_finetune": "ft_patience",
+    "save_configs_flag": "save_configs",
+    "finetune_data_path": "ft_data_config",
+    "data_path": "data_config",
+    "noise_std": "add_noise_std",
+    "add_noise": "add_noise_flag",
+}
+
+
+@dataclass
+class PIMLConfig:
+    # ----- experiment -----
+    exp_name: str = "pedsim_debug"
+    user_name: str = "piml"
+    seed: int = 666
+    tags: str = ""
+    model_name_suffix: str = ""        # random 8-char suffix if empty
+    save_configs: bool = False
+    save_dir: str = "saved_model"      # checkpoints root
+    config_dir: str = "saved_configs"
+
+    # ----- data -----
+    data_config: str = "configs/data_configs/toy.yaml"
+    ft_data_config: str = "configs/data_configs/toy_f.yaml"
+    finetune_flag: bool = False
+    train_ratio: float = 0.6
+    val_ratio: float = 0.2
+    test_ratio: float = 0.2
+    add_noise_flag: bool = False
+    add_noise_std: float = 0.05
+    time_unit: float = 0.08            # overwritten from dataset metadata
+
+    # ----- neighborhood / features (src/main.py:52-57) -----
+    topk_ped: int = 6
+    topk_obs: int = 10
+    sight_angle_ped: float = 90.0
+    sight_angle_obs: float = 90.0
+    dist_threshold_ped: float = 4.0
+    dist_threshold_obs: float = 4.0
+    num_history_velocity: int = 1
+    skip_frames: int = 25              # frames skipped for desired-speed estimation
+
+    # ----- model (src/main.py:62-67) -----
+    model: str = "pinnsf_m"
+    dataset_name: str = "ucy"          # gc1560, gc2344, ucy — selects tau / SF constants
+    activation: str = "relu"
+    dropout: float = 0.5
+    encoder_hidden_size: int = 128
+    processor_hidden_size: int = 128
+    decoder_hidden_size: int = 64
+    encoder_hidden_layers: int = 3
+    processor_hidden_layers: int = 16
+    decoder_hidden_layers: int = 2
+    res_hidden_layers: int = 3
+    correction_hidden_layers: int = 1
+    # feature dims are published by dataset build (reference: src/data/dataset.py:144-146)
+    ped_feature_dim: int = 6
+    obs_feature_dim: int = 6
+    self_feature_dim: int = 7
+
+    # ----- compat flags for reference quirks (SURVEY.md §2.6) -----
+    # True reproduces the reference bit-for-bit; False enables the fixed behavior.
+    compat_resdnn_last_block_only: bool = True   # ResDNN ignores all but last block (model.py:115-119)
+    compat_dest_norm_axis1: bool = False         # torch.norm(..., dim=1) on 3-D inputs (model.py:781)
+    compat_lagged_euler: bool = True             # v'=v+a_prev*dt; p'=p+v*dt (simulators.py:602-604)
+
+    # ----- optimization (src/main.py:38-50) -----
+    learning_rate: float = 2e-3
+    batch_size: int = 3
+    ft_batch_size: int = 4
+    shuffle: bool = False
+    weight_decay: float = 5e-4
+    epochs: int = 2
+    patience: int = 1
+    ft_patience: int = 5
+    finetune_lr_decay: float = 1.0
+    finetune_wd_aug: float = 1.0
+    ft_lr_decay2: float = 0.0          # corrector-branch LR multiplier (pinnsf_res / base)
+    # The reference swaps patience/ft_patience inside train() (simulators.py:393).
+    compat_swapped_patience: bool = True
+
+    # ----- rollout training (src/main.py:78-96) -----
+    valid_steps: int = 5
+    time_decay: float = 1.0
+    training_mode: str = "normal"      # normal, mttrain, polar, ft_pointwise
+    reg_weight: float = 0.0
+    collision_threshold: float = 0.5
+    collision_loss_weight: float = 10.0
+    val_coll_weight: float = 30.0
+    hard_collision_penalty: float = 10.0
+    teacher_weight: float = 0.0
+    collision_pred_weight: float = 10.0
+    collision_focus_weight: float = 10.0
+    new_collision_loss_flag: bool = False
+    collision_loss_version: str = "v0"  # v0 | v2 (abnormal-mask gated)
+    pinnsf_interaction: str = "sim"    # sim | loss (analytic-SF message supervision)
+    true_label_weight: float = 0.0
+    iter_flag: bool = False            # SR-iteration flag: v2 supervision constants
+    iter_model_name_suffix: str = ""
+
+    # ----- TPU execution -----
+    precision: str = "float32"         # compute dtype for the NN path
+    n_devices: int = 0                 # 0 = all local devices; batch/channel data parallel
+    donate_state: bool = True
+    remat_features: bool = True        # jax.checkpoint on the per-step feature pass
+
+    def __post_init__(self):
+        if not self.model_name_suffix:
+            import random
+            import string
+            rng = random.Random(self.seed)
+            chars = string.ascii_lowercase + string.digits
+            self.model_name_suffix = "".join(rng.sample(chars, 8))
+
+    # ------------------------------------------------------------------
+    @property
+    def tau(self) -> float:
+        """Per-model / per-dataset goal-force relaxation time.
+
+        Reference: model.py:733 (pinnsf: 2), model.py:1151-1154 (pinnsf_bm:
+        5/6 for ucy else 2), model.py:1237-1240 (pinnsf_m: 5/6 ucy else 0.5).
+        """
+        if self.model in {"pinnsf_bm"}:
+            return 5.0 / 6.0 if self.dataset_name == "ucy" else 2.0
+        if self.model in {"pinnsf_m"}:
+            return 5.0 / 6.0 if self.dataset_name == "ucy" else 0.5
+        return 2.0
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw) -> "PIMLConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> "PIMLConfig":
+        with open(path) as f:
+            if path.endswith((".yaml", ".yml")):
+                raw = yaml.safe_load(f)
+            else:
+                raw = json.load(f)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "PIMLConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        clean: Dict[str, Any] = {}
+        for k, v in raw.items():
+            k = _LEGACY_ALIASES.get(k, k)
+            if k in names:
+                clean[k] = v
+        return cls(**clean)
+
+    @classmethod
+    def from_cli(cls, argv: Optional[List[str]] = None) -> "PIMLConfig":
+        """argparse surface mirroring the reference CLI (src/main.py:26-112)."""
+        import argparse
+
+        parser = argparse.ArgumentParser(description="TPU-native pedestrian simulation")
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name
+            if f.type == "bool" or isinstance(f.default, bool):
+                parser.add_argument(name, type=lambda s: s.lower() in {"1", "true", "yes"},
+                                    default=None)
+            elif isinstance(f.default, int):
+                parser.add_argument(name, type=int, default=None)
+            elif isinstance(f.default, float):
+                parser.add_argument(name, type=float, default=None)
+            else:
+                parser.add_argument(name, type=str, default=None)
+        # legacy aliases
+        parser.add_argument("-f", dest="finetune_flag", action="store_const", const=True)
+        for legacy in _LEGACY_ALIASES:
+            parser.add_argument("--" + legacy, dest=_LEGACY_ALIASES[legacy], default=None)
+        ns, _ = parser.parse_known_args(argv)
+        overrides = {k: v for k, v in vars(ns).items() if v is not None}
+        # coerce types for legacy string-captured values
+        names = {f.name: f for f in dataclasses.fields(cls)}
+        for k, v in list(overrides.items()):
+            f = names.get(k)
+            if f is None:
+                continue
+            if isinstance(f.default, bool) and isinstance(v, str):
+                overrides[k] = v.lower() in {"1", "true", "yes"}
+            elif isinstance(f.default, int) and isinstance(v, str):
+                overrides[k] = int(v)
+            elif isinstance(f.default, float) and isinstance(v, str):
+                overrides[k] = float(v)
+        return cls(**overrides)

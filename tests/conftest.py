@@ -1,0 +1,36 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh so sharding paths are
+exercised without TPU hardware (the driver separately dry-runs multichip)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+TOY = "/root/reference/data/GC_Dataset/GC_Dataset_toy1.npy"
+
+
+@pytest.fixture(scope="session")
+def toy_path():
+    if not os.path.exists(TOY):
+        pytest.skip("reference toy dataset not available")
+    return TOY
+
+
+@pytest.fixture(scope="session")
+def toy_paths():
+    base = "/root/reference/data/GC_Dataset"
+    if not os.path.isdir(base):
+        pytest.skip("reference toy dataset not available")
+    return [os.path.join(base, f"GC_Dataset_toy{i}.npy") for i in (1, 2, 3)]
+
+
+@pytest.fixture()
+def rng():
+    return np.random.RandomState(0)
