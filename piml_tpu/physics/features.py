@@ -1,0 +1,385 @@
+"""Pure-function feature kernels (the reference's ``Pedestrians`` mixin).
+
+Everything here is branch-free masked math over fixed shapes so it jits onto
+the TPU VPU/MXU, replacing the reference's Python loops and dense
+``(t, N, N, 6)`` sort pipeline (reference: src/data/data.py:343-601):
+
+- :func:`heading_direction` — the per-agent forward/backward fill of the last
+  nonzero velocity direction becomes two ``lax.scan`` passes over time
+  (reference O(T·N) Python loop at src/data/data.py:351-395).
+- :func:`nearby_in_sight` — field-of-view masking + nearest-``k`` selection via
+  ``lax.top_k`` on masked distances (replaces the full sort at
+  src/data/data.py:416-447).
+- :func:`relative_features` — assembles the ``(..., N, k, 6)`` neighbor /
+  obstacle features and the destination vector (src/data/data.py:466-512).
+- :func:`collision_label` / :func:`collision_detection` — constant-velocity
+  1-second collision forecast and pairwise contact counts with the
+  "friends" filter (src/data/data.py:514-601).
+
+NaN conventions match the reference exactly: absent agents carry NaN
+positions, which turn into +inf distances and therefore zero-padded features.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+INF = jnp.inf
+
+
+class NeighborConfig(NamedTuple):
+    """Neighborhood hyper-parameters (reference CLI flags, src/main.py:52-57)."""
+
+    topk_ped: int = 6
+    topk_obs: int = 10
+    sight_angle_ped: float = 90.0
+    sight_angle_obs: float = 90.0
+    dist_threshold_ped: float = 4.0
+    dist_threshold_obs: float = 4.0
+
+
+# ----------------------------------------------------------------------------
+# heading direction
+# ----------------------------------------------------------------------------
+
+def _fill_zero_velocity(velocity: jax.Array) -> jax.Array:
+    """Backward-then-forward fill of zero velocities along the time axis.
+
+    Semantics (src/data/data.py:362-389): a zero velocity at time ``t`` is
+    replaced by the next nonzero velocity after ``t``; if none exists, by the
+    last nonzero velocity before ``t``; zeros remain only if the agent never
+    moves.  Input/output shape ``(t, N, 2)``.
+    """
+    nonzero = jnp.linalg.norm(velocity, axis=-1, keepdims=True) > 0
+
+    def bwd(carry, xs):
+        v, nz = xs
+        filled = jnp.where(nz, v, carry)
+        carry = jnp.where(nz, v, carry)
+        return carry, filled
+
+    zero0 = jnp.zeros_like(velocity[0])
+    _, filled = lax.scan(bwd, zero0, (velocity, nonzero), reverse=True)
+
+    def fwd(carry, xs):
+        v, nz = xs
+        out = jnp.where(nz, v, carry)
+        carry = out  # forward fill carries the *filled* value (incl. bwd result)
+        return carry, out
+
+    # After the reference's backward pass, the forward pass only rewrites
+    # entries whose backward-filled value is still zero.
+    nonzero2 = jnp.linalg.norm(filled, axis=-1, keepdims=True) > 0
+    _, filled2 = lax.scan(fwd, zero0, (filled, nonzero2))
+    return filled2
+
+
+def heading_direction(velocity: jax.Array, time_axis: bool = True) -> jax.Array:
+    """Normalized heading direction with zero-velocity fill.
+
+    - ``velocity`` of rank 2 ``(N, 2)``: no temporal fill (matches the
+      reference when called on flattened pointwise rows where the Python loop
+      never runs) — just the guarded normalization.
+    - rank 3 ``(t, N, 2)``: temporal fill along axis 0.
+    - rank 4 ``(c, t, N, 2)``: vmapped over channels.
+
+    Normalization divides by ``max(|v|, 0.1-when-zero)``
+    (src/data/data.py:391-394): zero vectors stay zero.
+    """
+    if time_axis:
+        if velocity.ndim == 3:
+            velocity = _fill_zero_velocity(velocity)
+        elif velocity.ndim == 4:
+            velocity = jax.vmap(_fill_zero_velocity)(velocity)
+    norm = jnp.linalg.norm(velocity, axis=-1, keepdims=True)
+    denom = jnp.where(norm == 0, 0.1, norm)
+    return velocity / denom
+
+
+# ----------------------------------------------------------------------------
+# neighbor selection
+# ----------------------------------------------------------------------------
+
+def _cosine_similarity(a: jax.Array, b: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """torch.cosine_similarity semantics: denominators clamped at eps."""
+    na = jnp.maximum(jnp.linalg.norm(a, axis=-1), eps)
+    nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), eps)
+    return jnp.sum(a * b, axis=-1) / (na * nb)
+
+
+def nearby_in_sight(
+    position: jax.Array,
+    objects: jax.Array,
+    heading: jax.Array,
+    k: int,
+    angle_threshold: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Indices/distances of the k closest objects inside the field of view.
+
+    ``position``: (..., N, 2); ``objects``: (..., M, 2); ``heading``: (..., N, 2).
+    Returns ``(dist, idx)`` of shape (..., N, k); out-of-view / absent entries
+    carry +inf distance.  Mirrors src/data/data.py:416-447 including the
+    literal ``cos(3.14 * angle / 180)`` threshold (not ``pi``), which is what
+    excludes the self-pair: the zero relative vector has cosine 0 < cos(3.14/2).
+    """
+    rel = objects[..., None, :, :] - position[..., :, None, :]  # ..., N, M, 2
+    rel = jnp.where(jnp.isnan(rel), INF, rel)
+    dist = jnp.linalg.norm(rel, axis=-1)  # inf propagates; inf-inf -> nan
+    dist = jnp.where(jnp.isnan(dist), INF, dist)
+
+    cos = _cosine_similarity(rel, heading[..., :, None, :])
+    cos = jnp.where(jnp.isnan(cos), -1.0, cos)
+    dist = jnp.where(cos < math.cos(3.14 * angle_threshold / 180.0), INF, dist)
+
+    # The reference's sort + [:k] naturally yields min(k, M) columns
+    # (src/data/data.py:445-447) and that column count is semantically
+    # significant: zero-padded rows still pass the encoders and contribute
+    # bias-derived messages to the sum-pool.
+    k = min(k, objects.shape[-2])
+    neg, idx = lax.top_k(-dist, k)  # ties resolved by lowest index, like stable sort
+    return -neg, idx
+
+
+def gather_filtered(
+    features: jax.Array, idx: jax.Array, dist: jax.Array, dist_threshold: float
+) -> jax.Array:
+    """Gather per-neighbor feature rows, zeroing beyond the distance threshold.
+
+    ``features``: (..., N, M, d); ``idx``/``dist``: (..., N, k) → (..., N, k, d).
+    (reference: src/data/data.py:449-464 — zero padding, never inf/NaN.)
+    """
+    gathered = jnp.take_along_axis(features, idx[..., None], axis=-2)
+    keep = (dist <= dist_threshold)[..., None]
+    gathered = jnp.where(keep, gathered, 0.0)
+    return jnp.where(jnp.isfinite(gathered), gathered, 0.0)
+
+
+# ----------------------------------------------------------------------------
+# relative features
+# ----------------------------------------------------------------------------
+
+def relative_features(
+    position: jax.Array,
+    velocity: jax.Array,
+    acceleration: jax.Array,
+    destination: jax.Array,
+    obstacles: jax.Array,
+    cfg: NeighborConfig,
+    heading: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pairwise neighbor / obstacle / destination features for model input.
+
+    Args:
+      position/velocity/acceleration/destination: (..., t, N, 2) (NaN = absent)
+      obstacles: (M, 2)
+      heading: optional precomputed (..., t, N, 2) heading (skips the fill)
+
+    Returns:
+      ped_features: (..., t, N, k1, 6) — relative p, v, a of k1 nearest in-FOV
+      obs_features: (..., t, N, k2, 6) — relative p, zero v/a rows
+      dest_features: (..., t, N, 2) — destination − position (NaN→0)
+    (reference: src/data/data.py:466-512)
+    """
+    velocity = jnp.where(jnp.isnan(velocity), 0.0, velocity)
+    acceleration = jnp.where(jnp.isnan(acceleration), 0.0, acceleration)
+    if heading is None:
+        heading = heading_direction(velocity)
+
+    ped_dist, ped_idx = nearby_in_sight(
+        position, position, heading, cfg.topk_ped, cfg.sight_angle_ped
+    )
+    state = jnp.concatenate([position, velocity, acceleration], axis=-1)  # ..., N, 6
+    rel = state[..., None, :, :] - state[..., :, None, :]  # ..., N, M, 6
+    ped_features = gather_filtered(rel, ped_idx, ped_dist, cfg.dist_threshold_ped)
+
+    dest_features = destination - position
+    dest_features = jnp.where(jnp.isnan(dest_features), 0.0, dest_features)
+
+    obs = jnp.broadcast_to(
+        obstacles, position.shape[:-2] + obstacles.shape
+    )  # ..., M, 2
+    obs_dist, obs_idx = nearby_in_sight(
+        position, obs, heading, cfg.topk_obs, cfg.sight_angle_obs
+    )
+    zeros = jnp.zeros_like(obs)
+    obs_state = jnp.concatenate([obs, zeros, zeros], axis=-1)
+    rel_obs = obs_state[..., None, :, :] - state[..., :, None, :]
+    obs_features = gather_filtered(rel_obs, obs_idx, obs_dist, cfg.dist_threshold_obs)
+
+    return ped_features, obs_features, dest_features
+
+
+# ----------------------------------------------------------------------------
+# collisions
+# ----------------------------------------------------------------------------
+
+def collision_label(ped_features: jax.Array) -> jax.Array:
+    """Would-collide-within-1s label per neighbor edge.
+
+    Ten 0.1 s constant-relative-velocity sub-steps; any sub-step with relative
+    distance in (0, 0.5) marks the edge (src/data/data.py:514-535).
+    Input (..., k, 6) → output (..., k).
+    """
+    t = jnp.arange(10, dtype=ped_features.dtype) * 0.1  # (10,)
+    rel_p = ped_features[..., None, :2]  # ..., k, 1, 2
+    rel_v = ped_features[..., None, 2:4]
+    future = rel_p + rel_v * t[:, None]  # ..., k, 10, 2
+    d = jnp.linalg.norm(future, axis=-1)  # ..., k, 10
+    hit = (d < 0.5) & (d != 0)
+    return jnp.any(hit, axis=-1).astype(ped_features.dtype)
+
+
+def collision_detection(
+    position: jax.Array,
+    threshold: float,
+    real_position: Optional[jax.Array] = None,
+    friends_window: int = 4,
+    friends_frames: int = 25,
+) -> jax.Array:
+    """Pairwise contact matrix minus self-loops and "friends".
+
+    ``position``: (t, N, 2) or (c, t, N, 2) with NaN marking absence.
+    Friends are removed per the reference (src/data/data.py:571-599):
+
+    - 3-D input (evaluation): pairs in contact > ``friends_frames`` frames —
+      or, when ``real_position`` is given, contact counted on the real data;
+    - 4-D input (training): pairs already in contact during the first
+      ``friends_window`` frames of the window.
+
+    Returns the (t, N, N) / (c, t, N, N) 0/1 contact tensor.
+    """
+    rel = position[..., None, :, :] - position[..., :, None, :]
+    dist = jnp.linalg.norm(rel, axis=-1)  # ..., t, N, N (NaN where absent)
+    eye = jnp.eye(position.shape[-2], dtype=position.dtype)
+    coll = jnp.where(
+        jnp.isnan(dist), 0.0, jnp.where(dist < threshold, 1.0, 0.0) - eye
+    )
+
+    if real_position is not None:
+        rrel = real_position[..., None, :, :] - real_position[..., :, None, :]
+        rdist = jnp.linalg.norm(rrel, axis=-1)
+        rcoll = jnp.where(jnp.isnan(rdist), 0.0, (rdist < threshold).astype(position.dtype))
+        friends = (jnp.sum(rcoll, axis=0) <= friends_frames).astype(position.dtype)
+        friends = friends[None]
+    elif position.ndim == 3:
+        friends = (jnp.sum(coll, axis=0) <= friends_frames).astype(position.dtype)
+        friends = friends[None]
+    else:  # (c, t, N, 2) training windows
+        early = jnp.sum(coll[:, :friends_window], axis=1)
+        friends = 1.0 - (early > 0).astype(position.dtype)
+        friends = friends[:, None]
+
+    return coll * friends
+
+
+def collision_detection_single_frame(position: jax.Array, threshold: float) -> jax.Array:
+    """Per-frame contact counts without the friends filter, used inside the
+    differentiable rollout (reference calls collision_detection on a single
+    frame where the friends logic degenerates; src/models/simulators.py:708).
+
+    ``position``: (..., N, 2) → (..., N) contact counts.
+    """
+    rel = position[..., None, :, :] - position[..., :, None, :]
+    dist = jnp.linalg.norm(rel, axis=-1)
+    n = position.shape[-2]
+    eye = jnp.eye(n, dtype=position.dtype)
+    coll = jnp.where(jnp.isnan(dist), 0.0, jnp.where(dist < threshold, 1.0, 0.0) - eye)
+    return jnp.sum(coll, axis=-1)
+
+
+# ----------------------------------------------------------------------------
+# masks / windowing helpers
+# ----------------------------------------------------------------------------
+
+def move_index_matrix(mask: jax.Array, direction: str, n_steps: int, axis: int = 0) -> jax.Array:
+    """Shift-and-intersect of a 0/1 index matrix (src/data/data.py:674-697)."""
+    zeros_shape = list(mask.shape)
+    zeros_shape[axis] = n_steps
+    zeros = jnp.zeros(zeros_shape, mask.dtype)
+    length = mask.shape[axis]
+    if direction == "backward":
+        body = lax.slice_in_dim(mask, 0, length - n_steps, axis=axis)
+        shifted = jnp.concatenate([zeros, body], axis=axis)
+    elif direction == "forward":
+        body = lax.slice_in_dim(mask, n_steps, length, axis=axis)
+        shifted = jnp.concatenate([body, zeros], axis=axis)
+    else:
+        raise ValueError(direction)
+    return shifted * mask
+
+
+def turn_detection(position: jax.Array, velocity: jax.Array, mask_v: jax.Array) -> jax.Array:
+    """Flag non-abnormal agents: 1 unless turning (>20° between entry velocity
+    and start→end chord) or loitering (mean speed < 1.3·0.3)
+    (reference: src/data/data.py:700-744).
+
+    position: (T, N, 2) with NaN absence; returns (N,) float 0/1.
+    """
+    present = jnp.isfinite(position[..., 0])  # T, N
+    T = position.shape[0]
+    any_present = jnp.any(present, axis=0)
+    first = jnp.argmax(present, axis=0)  # N
+    last = T - 1 - jnp.argmax(present[::-1], axis=0)
+
+    idx = jnp.arange(position.shape[1])
+    starts = position[first, idx]  # N, 2
+    ends = position[last, idx]
+    v_starts = velocity[first, idx]
+    starts = jnp.where(any_present[:, None], starts, 1e4)
+    ends = jnp.where(any_present[:, None], ends, 1e4)
+    v_starts = jnp.where(any_present[:, None], v_starts, 1e4)
+
+    chord = ends - starts
+    dist = jnp.linalg.norm(chord, axis=-1) + 1e-6
+    norm_v = jnp.linalg.norm(v_starts, axis=-1) + 1e-6
+    cos_theta = jnp.sum(chord * v_starts, axis=-1) / dist / norm_v
+    non_abnormal = (cos_theta >= math.cos(3.1415 * 20 / 180)) & (cos_theta > 0)
+    non_abnormal = non_abnormal.astype(position.dtype)
+
+    speed = jnp.linalg.norm(jnp.where(jnp.isnan(velocity), 0.0, velocity), axis=-1)
+    mean_speed = jnp.sum(speed, axis=0) / jnp.maximum(jnp.sum(mask_v, axis=0), 1e-6)
+    return jnp.where(mean_speed < 1.3 * 0.3, 0.0, non_abnormal)
+
+
+def desired_speed(velocity: jax.Array, skip_frames: int) -> jax.Array:
+    """Mean speed over the first ``skip_frames`` frames after each agent's
+    first movement (reference: src/data/data.py:797-808).
+
+    velocity: (T, N, 2) → (N,).  The reference's torch.mean over the sliced
+    window includes zero-velocity frames inside the window; the window is
+    clipped at T like a Python slice.
+    """
+    T, N = velocity.shape[0], velocity.shape[1]
+    speed = jnp.linalg.norm(velocity, axis=-1)  # T, N
+    moving = speed > 0
+    # first index with movement, 0 if never (matches reference start_idx = 0)
+    start = jnp.where(jnp.any(moving, axis=0), jnp.argmax(moving, axis=0), 0)  # N
+    offsets = jnp.arange(skip_frames)  # (k,)
+    idx = start[None, :] + offsets[:, None]  # k, N
+    valid = idx < T
+    idx = jnp.minimum(idx, T - 1)
+    window = jnp.take_along_axis(speed, idx, axis=0)  # k, N
+    window = jnp.where(valid, window, 0.0)
+    count = jnp.maximum(jnp.sum(valid, axis=0), 1)
+    return jnp.sum(window, axis=0) / count
+
+
+def history_velocity(velocity: jax.Array, num_history: int) -> jax.Array:
+    """Stacked trailing velocities ``(T, N, 2*num_history)`` ordered oldest →
+    newest, zero-padded at the sequence start (src/data/data.py:787-795)."""
+    T = velocity.shape[0]
+    frames = []
+    for i in range(num_history):
+        shift = num_history - i - 1
+        if shift == 0:
+            frames.append(velocity)
+        else:
+            pad = jnp.zeros((shift,) + velocity.shape[1:], velocity.dtype)
+            frames.append(jnp.concatenate([pad, velocity[: T - shift]], axis=0))
+    return jnp.concatenate(frames, axis=-1)
