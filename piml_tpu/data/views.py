@@ -1,0 +1,300 @@
+"""Dataset views: three tensor layouts of one scene (+ polar variant).
+
+Reference: src/data/data.py:604-1160 — ``TimeIndexedPedData`` (supervised view
+keyed by frame), ``PointwisePedData`` (flattened single-step rows) and
+``ChanneledTimeIndexedPedData`` (stride windows for rollout training).  The
+feature pass itself is jitted JAX (`piml_tpu.physics`); the row filtering of
+the pointwise view runs host-side in numpy because it produces data-dependent
+shapes (done once, offline).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from piml_tpu.config import PIMLConfig
+from piml_tpu.physics import (
+    NeighborConfig,
+    collision_label,
+    desired_speed as calc_desired_speed,
+    heading_direction,
+    history_velocity,
+    move_index_matrix,
+    polar as polar_mod,
+    relative_features,
+    turn_detection,
+)
+from piml_tpu.scene import Scene
+
+
+def neighbor_config(cfg: PIMLConfig) -> NeighborConfig:
+    return NeighborConfig(
+        topk_ped=cfg.topk_ped,
+        topk_obs=cfg.topk_obs,
+        sight_angle_ped=cfg.sight_angle_ped,
+        sight_angle_obs=cfg.sight_angle_obs,
+        dist_threshold_ped=cfg.dist_threshold_ped,
+        dist_threshold_obs=cfg.dist_threshold_obs,
+    )
+
+
+@struct.dataclass
+class TimeIndexedData:
+    """Frame-keyed supervised view + the raw kinematics needed for rollout
+    (the reference splits this across make_dataset and set_dataset_info,
+    src/data/data.py:746-863)."""
+
+    # model inputs
+    ped_features: jax.Array    # (T, N, k1, 6)
+    obs_features: jax.Array    # (T, N, k2, 6)
+    self_features: jax.Array   # (T, N, 2 + 2h + 2 + 1)
+    labels: jax.Array          # (T, N, 7) = [p, v, a, collision-label]
+    # masks
+    mask_p: jax.Array
+    mask_v: jax.Array
+    mask_a: jax.Array
+    mask_p_pred: jax.Array
+    mask_v_pred: jax.Array
+    mask_a_pred: jax.Array
+    abnormal_mask: jax.Array   # (N,)
+    # kinematics for rollout
+    position: jax.Array
+    velocity: jax.Array
+    acceleration: jax.Array
+    destination: jax.Array
+    dest_idx: jax.Array
+    dest_num: jax.Array
+    waypoints: jax.Array
+    obstacles: jax.Array
+    desired_speed: jax.Array   # (N,)
+    meta_data: Dict[str, Any] = struct.field(pytree_node=False, default_factory=dict)
+
+    @property
+    def num_frames(self) -> int:
+        return self.ped_features.shape[-4]
+
+    @property
+    def num_pedestrians(self) -> int:
+        return self.ped_features.shape[-3]
+
+    @property
+    def time_unit(self) -> float:
+        return float(self.meta_data["time_unit"])
+
+    @property
+    def feature_dims(self):
+        return (
+            self.ped_features.shape[-1],
+            self.obs_features.shape[-1],
+            self.self_features.shape[-1],
+        )
+
+
+def make_time_indexed(cfg: PIMLConfig, scene: Scene,
+                      polar: bool = False) -> TimeIndexedData:
+    """Build the supervised frame-keyed view (reference: data.py:746-834)."""
+    ncfg = neighbor_config(cfg)
+    ped_f, obs_f, dest_f = relative_features(
+        scene.position, scene.velocity, scene.acceleration,
+        scene.destination, scene.obstacles, ncfg,
+    )
+
+    hist_v = history_velocity(scene.velocity, cfg.num_history_velocity)
+    ds = calc_desired_speed(scene.velocity, cfg.skip_frames)  # (N,)
+    T = scene.num_steps
+    ds_col = jnp.broadcast_to(ds[None, :, None], (T, scene.num_pedestrians, 1))
+
+    self_f = jnp.concatenate([dest_f, hist_v, scene.acceleration, ds_col], axis=-1)
+
+    labels = jnp.concatenate(
+        [scene.position, scene.velocity, scene.acceleration], axis=-1
+    )
+    coll_labels = collision_label(ped_f)  # (T, N, k1)
+    labels = jnp.concatenate([labels, coll_labels], axis=-1)
+
+    if polar:
+        heading = heading_direction(self_f[..., -5:-3])
+        ped_f = polar_mod.features_to_polar(ped_f, heading)
+        if obs_f.shape[-1] > 0:
+            obs_f = polar_mod.features_to_polar(obs_f, heading)
+
+    abnormal = turn_detection(scene.position, scene.velocity, scene.mask_v)
+
+    skip = cfg.skip_frames
+    mask_a_pred = move_index_matrix(scene.mask_a, "backward", skip - 1)
+    mask_v_pred = move_index_matrix(scene.mask_v, "backward", skip - 1)
+    mask_p_pred = move_index_matrix(scene.mask_p, "backward", skip - 1)
+    mask_a_pred = move_index_matrix(mask_a_pred, "forward", 1)
+
+    return TimeIndexedData(
+        ped_features=ped_f, obs_features=obs_f, self_features=self_f,
+        labels=labels,
+        mask_p=scene.mask_p, mask_v=scene.mask_v, mask_a=scene.mask_a,
+        mask_p_pred=mask_p_pred, mask_v_pred=mask_v_pred, mask_a_pred=mask_a_pred,
+        abnormal_mask=abnormal,
+        position=scene.position, velocity=scene.velocity,
+        acceleration=scene.acceleration, destination=scene.destination,
+        dest_idx=scene.dest_idx, dest_num=scene.dest_num,
+        waypoints=scene.waypoints, obstacles=scene.obstacles,
+        desired_speed=ds,
+        meta_data=scene.meta_data,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pointwise view
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class PointwiseData:
+    """Flattened single-step training rows (reference: data.py:958-1043)."""
+
+    ped_features: jax.Array   # (R, k1, 6)
+    obs_features: jax.Array   # (R, k2, 6)
+    self_features: jax.Array  # (R, d)
+    labels: jax.Array         # (R, 7) — next-step [p, v, a, coll]
+    meta_data: Dict[str, Any] = struct.field(pytree_node=False, default_factory=dict)
+
+    def __len__(self):
+        return self.labels.shape[0]
+
+    @property
+    def time_unit(self) -> float:
+        return float(self.meta_data["time_unit"])
+
+
+def to_pointwise(data: TimeIndexedData) -> PointwiseData:
+    """Filter predictable rows and shift labels one step forward
+    (reference: data.py:1007-1038; filtering runs host-side)."""
+    mask = np.asarray(data.mask_a_pred).reshape(-1) > 0
+    labels = np.asarray(data.labels)
+    labels = np.concatenate([labels[1:], np.zeros_like(labels[:1])], axis=0)
+    flat = lambda x: np.asarray(x).reshape((-1,) + x.shape[2:])
+    return PointwiseData(
+        ped_features=jnp.asarray(flat(data.ped_features)[mask]),
+        obs_features=jnp.asarray(flat(data.obs_features)[mask]),
+        self_features=jnp.asarray(flat(data.self_features)[mask]),
+        labels=jnp.asarray(labels.reshape(-1, labels.shape[-1])[mask]),
+        meta_data=data.meta_data,
+    )
+
+
+def merge_pointwise(parts: List[PointwiseData]) -> PointwiseData:
+    """Concatenate pointwise datasets (reference: data.py:994-1002)."""
+    if len(parts) == 1:
+        return parts[0]
+    tu = parts[0].time_unit
+    assert all(abs(p.time_unit - tu) < 1e-9 for p in parts), \
+        "PointwiseData with different time_unit cannot be merged"
+    cat = lambda attr: jnp.concatenate([getattr(p, attr) for p in parts], axis=0)
+    return PointwiseData(
+        ped_features=cat("ped_features"),
+        obs_features=cat("obs_features"),
+        self_features=cat("self_features"),
+        labels=cat("labels"),
+        meta_data=parts[0].meta_data,
+    )
+
+
+# ---------------------------------------------------------------------------
+# channeled (windowed) view
+# ---------------------------------------------------------------------------
+
+def window_slice(x: jax.Array, stride: int, mode: str) -> jax.Array:
+    """``(T, ...) → (C, stride, ...)`` windows (reference: data.py:1071-1091).
+
+    - ``'slice'``: C = T − stride overlapping windows, window c = frames
+      [c, c+stride);
+    - ``'split'``: C = T // stride disjoint chunks.
+    """
+    T = x.shape[0]
+    if mode == "slice":
+        assert T > stride, "stride must be < #total time steps (data.py:1100)"
+        c = T - stride
+        idx = jnp.arange(c)[:, None] + jnp.arange(stride)[None, :]  # C, stride
+        return x[idx]
+    if mode == "split":
+        step = T // stride
+        return x[: step * stride].reshape((step, stride) + x.shape[1:])
+    raise NotImplementedError(mode)
+
+
+@struct.dataclass
+class ChanneledData:
+    """Windowed rollout-training view (reference: data.py:1046-1160).
+    Every array gains a leading channel axis C; ``waypoints`` etc. are
+    broadcast per channel."""
+
+    ped_features: jax.Array    # (C, t, N, k1, 6)
+    obs_features: jax.Array
+    self_features: jax.Array
+    labels: jax.Array
+    mask_p: jax.Array
+    mask_v: jax.Array
+    mask_a: jax.Array
+    mask_p_pred: jax.Array
+    mask_v_pred: jax.Array
+    mask_a_pred: jax.Array
+    position: jax.Array
+    velocity: jax.Array
+    acceleration: jax.Array
+    destination: jax.Array
+    dest_idx: jax.Array
+    abnormal_mask: jax.Array
+    dest_num: jax.Array        # (N,)
+    waypoints: jax.Array       # (D, N, 2) — shared across channels
+    obstacles: jax.Array
+    desired_speed: jax.Array   # (N,)
+    meta_data: Dict[str, Any] = struct.field(pytree_node=False, default_factory=dict)
+
+    @property
+    def num_channels(self) -> int:
+        return self.ped_features.shape[0]
+
+    @property
+    def num_frames(self) -> int:
+        return self.ped_features.shape[1]
+
+    @property
+    def time_unit(self) -> float:
+        return float(self.meta_data["time_unit"])
+
+    def slice_channels(self, idx) -> "ChanneledData":
+        take = lambda x: x[jnp.asarray(idx)]
+        return self.replace(
+            ped_features=take(self.ped_features),
+            obs_features=take(self.obs_features),
+            self_features=take(self.self_features),
+            labels=take(self.labels),
+            mask_p=take(self.mask_p), mask_v=take(self.mask_v),
+            mask_a=take(self.mask_a),
+            mask_p_pred=take(self.mask_p_pred), mask_v_pred=take(self.mask_v_pred),
+            mask_a_pred=take(self.mask_a_pred),
+            position=take(self.position), velocity=take(self.velocity),
+            acceleration=take(self.acceleration), destination=take(self.destination),
+            dest_idx=take(self.dest_idx),
+        )
+
+
+def to_channeled(data: TimeIndexedData, stride: int = 25,
+                 mode: str = "slice") -> ChanneledData:
+    w = lambda x: window_slice(x, stride, mode)
+    return ChanneledData(
+        ped_features=w(data.ped_features), obs_features=w(data.obs_features),
+        self_features=w(data.self_features), labels=w(data.labels),
+        mask_p=w(data.mask_p), mask_v=w(data.mask_v), mask_a=w(data.mask_a),
+        mask_p_pred=w(data.mask_p_pred), mask_v_pred=w(data.mask_v_pred),
+        mask_a_pred=w(data.mask_a_pred),
+        position=w(data.position), velocity=w(data.velocity),
+        acceleration=w(data.acceleration), destination=w(data.destination),
+        dest_idx=w(data.dest_idx),
+        abnormal_mask=data.abnormal_mask,
+        dest_num=data.dest_num, waypoints=data.waypoints,
+        obstacles=data.obstacles, desired_speed=data.desired_speed,
+        meta_data=data.meta_data,
+    )

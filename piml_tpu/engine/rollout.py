@@ -1,0 +1,268 @@
+"""The rollout engine: one jitted ``lax.scan`` step for every closed loop.
+
+The reference maintains four near-copies of the per-frame simulation loop —
+evaluation rollout (src/models/simulators.py:595-652), differentiable training
+rollout (:699-779), the MLAPM demo loop (src/main_mlapm.py:19-36) and the
+missing social-force generator.  Here there is exactly one step function; the
+variants differ only in the force model plugged in and two boolean switches
+(arrival retirement, collision bookkeeping).
+
+Semantics reproduced exactly (SURVEY.md §2.6):
+
+- lagged explicit Euler: ``v' = v + a_prev·dt``, ``p' = p + v·dt`` where
+  ``a_prev`` is the *previous* model output (simulators.py:602-604) — the
+  non-lagged MLAPM variant (``v' = v + F·dt; p' = p + v'·dt``) is selected by
+  ``lagged=False``;
+- waypoint advance when distance < 0.5, with clamping at the last waypoint
+  (simulators.py:607-616);
+- arrival retirement to NaN (eval/generation) vs. keep-alive (training);
+- ground-truth teleport-in of newly appearing agents (simulators.py:629-639);
+- per-step O(N²) feature rebuild with single-frame heading
+  (simulators.py:642-651);
+- rolling history-velocity window in the self features (simulators.py:624-626).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from piml_tpu.physics import (
+    NeighborConfig,
+    collision_detection_single_frame,
+    collision_label,
+    relative_features,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static rollout configuration."""
+
+    neighbor: NeighborConfig = NeighborConfig()
+    time_unit: float = 0.08
+    lagged: bool = True             # reference Euler lag (simulators.py:602-604)
+    retire_on_arrival: bool = True  # eval/gen: NaN out arrived agents
+    track_collisions: bool = False  # training: per-step contact counts
+    collision_threshold: float = 0.5
+    track_collision_labels: bool = False  # pinnsf_bm multitask bookkeeping
+    remat: bool = True              # checkpoint the step for BPTT memory
+
+
+@struct.dataclass
+class EngineState:
+    """Scan carry — one scene frame's live state (agent axis N).
+
+    ``ped_f``/``obs_f``/``self_f`` are the *next* model inputs; they are part
+    of the carry because the reference seeds the first step with the
+    dataset-built features (whose heading uses the full-trajectory fill) and
+    recomputes thereafter (simulators.py:571-572,642-651).
+    """
+
+    p: jax.Array          # (N, 2) NaN = absent
+    v: jax.Array          # (N, 2)
+    a: jax.Array          # (N, 2)
+    dest: jax.Array       # (N, 2)
+    dest_idx: jax.Array   # (N,) int32
+    hist_v: jax.Array     # (N, 2*h)
+    ped_f: jax.Array      # (N, k1, 6)
+    obs_f: jax.Array      # (N, k2, 6)
+    self_f: jax.Array     # (N, 2 + 2h + 2 + 1)
+
+
+class StepOutputs(NamedTuple):
+    """Per-frame recorded outputs (stacked by scan along the time axis)."""
+
+    p: jax.Array
+    v: jax.Array
+    a: jax.Array
+    mask: jax.Array                 # presence at recording time
+    collisions: jax.Array           # (N,) soft contact counts (or zeros)
+    hard_collisions: jax.Array
+    coll_pred: jax.Array            # (N, k1) per-edge collision predictions
+    true_coll: jax.Array            # (N, k1) labels recomputed from features
+    msg_l1: jax.Array               # scalar sum |ped_msgs| for L1 reg
+
+
+class SpawnFrame(NamedTuple):
+    """Ground-truth teleport-in data for one frame (scanned xs)."""
+
+    new: jax.Array        # (N,) 0/1 — agents appearing at this frame
+    p: jax.Array
+    v: jax.Array
+    a: jax.Array
+    dest: jax.Array
+    dest_idx: jax.Array
+    hist_v: jax.Array
+
+
+ForceFn = Callable[..., Any]  # (params, ped_f, obs_f, self_f) -> ModelOutput-like
+
+
+def make_step(
+    apply_fn: ForceFn,
+    cfg: EngineConfig,
+    waypoints: jax.Array,      # (D, N, 2)
+    dest_num: jax.Array,       # (N,)
+    obstacles: jax.Array,      # (M, 2)
+    desired_speed: jax.Array,  # (N, 1)
+):
+    """Build the scan step ``(params, state, spawn) -> (state, outputs)``."""
+
+    dt = cfg.time_unit
+    n_hist = None  # inferred from state at trace time
+
+    def features_for(p, v, a, dest, hist_v):
+        # single-frame heading: the temporal fill degenerates to the guarded
+        # normalization (reference passes a singleton time axis,
+        # simulators.py:642-646)
+        ped_f, obs_f, dest_f = relative_features(
+            p[None], v[None], a[None], dest[None], obstacles, cfg.neighbor
+        )
+        self_f = jnp.concatenate(
+            [dest_f[0], hist_v, a, desired_speed], axis=-1
+        )
+        return ped_f[0], obs_f[0], self_f
+
+    def step(params, state: EngineState, spawn: SpawnFrame):
+        # ---- record current state ------------------------------------------
+        present = (~jnp.isnan(state.p[..., 0])).astype(state.p.dtype)
+
+        # ---- model forward -------------------------------------------------
+        out = apply_fn(params, state.ped_f, state.obs_f, state.self_f)
+        a_next = out.pred_acc
+        msg_l1 = jnp.sum(jnp.abs(out.ped_msgs)) if out.ped_msgs is not None else jnp.zeros(())
+
+        # ---- collision bookkeeping (stop-grad, simulators.py:708) ----------
+        if cfg.track_collisions:
+            p_sg = jax.lax.stop_gradient(state.p)
+            coll = collision_detection_single_frame(p_sg, cfg.collision_threshold)
+            hard = collision_detection_single_frame(p_sg, cfg.collision_threshold / 2)
+        else:
+            coll = jnp.zeros_like(present)
+            hard = jnp.zeros_like(present)
+
+        if cfg.track_collision_labels and out.coll_pred is not None:
+            coll_pred = out.coll_pred
+            true_coll = collision_label(state.ped_f)
+        else:
+            k1 = state.ped_f.shape[-2]
+            coll_pred = jnp.zeros(state.p.shape[:-1] + (k1,), state.p.dtype)
+            true_coll = jnp.zeros_like(coll_pred)
+
+        # ---- integrate (lagged Euler by default) ---------------------------
+        if cfg.lagged:
+            v_next = state.v + state.a * dt
+            p_next = state.p + state.v * dt
+        else:
+            v_next = state.v + a_next * dt
+            p_next = state.p + v_next * dt
+
+        # ---- waypoint advance ---------------------------------------------
+        dis = jnp.linalg.norm(state.p - state.dest, axis=-1)
+        dest_idx = state.dest_idx + (dis < 0.5).astype(state.dest_idx.dtype)
+        arrived = dest_idx > dest_num - 1
+        if cfg.retire_on_arrival:
+            p_next = jnp.where(arrived[..., None], jnp.nan, p_next)
+        dest_idx = jnp.where(arrived, dest_idx - 1, dest_idx)
+        agent_ids = jnp.arange(waypoints.shape[1])
+        dest_next = waypoints[dest_idx.astype(jnp.int32), agent_ids]  # (N, 2)
+
+        # ---- rolling history velocities ------------------------------------
+        hist_v = jnp.concatenate([state.hist_v[..., 2:], v_next], axis=-1)
+
+        # ---- teleport-in newly appearing agents ----------------------------
+        new = spawn.new[..., None]
+        p_next = jnp.where(new == 1, spawn.p, p_next)
+        v_next = jnp.where(new == 1, spawn.v, v_next)
+        a_next = jnp.where(new == 1, spawn.a, a_next)
+        dest_next = jnp.where(new == 1, spawn.dest, dest_next)
+        dest_idx = jnp.where(spawn.new == 1, spawn.dest_idx, dest_idx)
+        hist_v = jnp.where(new == 1, spawn.hist_v, hist_v)
+
+        # ---- rebuild features ----------------------------------------------
+        ped_f, obs_f, self_f = features_for(p_next, v_next, a_next, dest_next, hist_v)
+
+        new_state = EngineState(
+            p=p_next, v=v_next, a=a_next, dest=dest_next, dest_idx=dest_idx,
+            hist_v=hist_v, ped_f=ped_f, obs_f=obs_f, self_f=self_f,
+        )
+        outputs = StepOutputs(
+            p=state.p, v=state.v, a=state.a, mask=present,
+            collisions=coll, hard_collisions=hard,
+            coll_pred=coll_pred, true_coll=true_coll, msg_l1=msg_l1,
+        )
+        return new_state, outputs
+
+    if cfg.remat:
+        step = jax.checkpoint(step)
+    return step
+
+
+def init_state(
+    p, v, a, dest, dest_idx, ped_f, obs_f, self_f
+) -> EngineState:
+    """Seed the carry from dataset tensors at ``t_start``.
+
+    ``self_f`` is the dataset-built self feature row whose slice [2:-3] holds
+    the history velocities (simulators.py:571-573,624).
+    """
+    hist_v = self_f[..., 2:-3]
+    return EngineState(
+        p=p, v=v, a=a, dest=dest, dest_idx=dest_idx.astype(jnp.int32),
+        hist_v=hist_v, ped_f=ped_f, obs_f=obs_f, self_f=self_f,
+    )
+
+
+def rollout(
+    params,
+    apply_fn: ForceFn,
+    cfg: EngineConfig,
+    state: EngineState,
+    spawns: SpawnFrame,        # time-leading pytree, length T_roll
+    waypoints: jax.Array,
+    dest_num: jax.Array,
+    obstacles: jax.Array,
+    desired_speed: jax.Array,
+) -> Tuple[EngineState, StepOutputs]:
+    """Run the scan: ``T_roll`` steps from ``state``; outputs are time-major."""
+    step = make_step(apply_fn, cfg, waypoints, dest_num, obstacles, desired_speed)
+
+    def body(carry, xs):
+        return step(params, carry, xs)
+
+    return jax.lax.scan(body, state, spawns)
+
+
+def spawn_frames_from_scene(
+    position, velocity, acceleration, destination, dest_idx, self_features,
+    mask_p, mask_p_pred, t_start: int,
+) -> SpawnFrame:
+    """Build the teleport-in schedule from ground truth.
+
+    ``new_peds_flag = mask_p − mask_p_pred`` marks frames where an agent exists
+    but is not yet predictable (simulators.py:593).  At loop step ``t`` the
+    reference injects frame ``t+1``'s ground truth; the scanned xs therefore
+    carry frames ``t_start+1 .. T`` with a zero-pad final frame.
+    """
+    new_flag = (mask_p - mask_p_pred).astype(position.dtype)  # T, N
+
+    def shift(x):
+        tail = x[t_start + 1:]
+        pad = jnp.zeros_like(x[:1])
+        return jnp.concatenate([tail, pad], axis=0)
+
+    return SpawnFrame(
+        new=shift(new_flag),
+        p=shift(jnp.where(jnp.isnan(position), 0.0, position)),
+        v=shift(velocity),
+        a=shift(acceleration),
+        dest=shift(jnp.where(jnp.isnan(destination), 0.0, destination)),
+        dest_idx=shift(dest_idx).astype(jnp.int32),
+        hist_v=shift(self_features[..., 2:-3]),
+    )

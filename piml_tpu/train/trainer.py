@@ -1,0 +1,396 @@
+"""Training loops: pointwise pretraining and differentiable rollout finetune.
+
+Reference: src/models/simulators.py:291-428.  Torch Adam + L2 weight decay
+maps to ``optax.chain(add_decayed_weights, scale_by_adam, scale(-lr))`` (torch
+adds ``wd·θ`` to the gradient *before* the Adam moments).  The finetune
+optimizer reproduces the per-group learning rates (corrector branch at
+``lr·ft_lr_decay2``, pretrained weights at ``lr·finetune_lr_decay``,
+simulators.py:108-131) via ``optax.multi_transform`` over parameter paths.
+Early stopping keeps the reference's swapped-patience quirk behind
+``compat_swapped_patience`` (simulators.py:393).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from piml_tpu.config import PIMLConfig
+from piml_tpu.data.views import ChanneledData, PointwiseData, TimeIndexedData
+from piml_tpu.engine.simulator import (
+    evaluate_rollouts,
+    training_rollout_loss,
+)
+from piml_tpu.models import (
+    ModelSpec,
+    build_finetune_model,
+    build_model,
+    pretrain_model_name,
+)
+from piml_tpu.physics import forces
+from piml_tpu.train import losses
+from piml_tpu.utils.logging import MetricLogger
+
+
+def make_optimizer(cfg: PIMLConfig, finetune: bool = False) -> optax.GradientTransformation:
+    lr = cfg.learning_rate
+    wd = cfg.weight_decay
+    if not finetune:
+        return optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.scale_by_adam(),
+            optax.scale(-lr),
+        )
+    if cfg.model in {"base", "pinnsf_res"}:
+        # per-group LRs by parameter path (simulators.py:108-124)
+        def label_fn(params):
+            def label(path, _):
+                joined = "/".join(str(p) for p in path)
+                return "corrector" if "corrector" in joined else "pretrained"
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        group = lambda mult: optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.scale_by_adam(),
+            optax.scale(-lr * mult),
+        )
+        return optax.multi_transform(
+            {"corrector": group(cfg.ft_lr_decay2),
+             "pretrained": group(cfg.finetune_lr_decay)},
+            label_fn,
+        )
+    return optax.chain(
+        optax.add_decayed_weights(wd * cfg.finetune_wd_aug),
+        optax.scale_by_adam(),
+        optax.scale(-lr * cfg.finetune_lr_decay),
+    )
+
+
+def make_batches(n: int, batch_size: int, rng: np.random.RandomState,
+                 shuffle: bool = True, drop_last: bool = True) -> List[np.ndarray]:
+    """Shuffled index chunks (reference: src/utils/data_loader.py:14-38)."""
+    idx = np.arange(n)
+    if shuffle:
+        idx = idx[rng.permutation(n)]
+    batches = [idx[i * batch_size:(i + 1) * batch_size]
+               for i in range(n // batch_size)]
+    if not drop_last and n % batch_size:
+        batches.append(idx[n - n % batch_size:])
+    return batches
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (reference: simulators.py:251-289 naming contract)
+# ---------------------------------------------------------------------------
+
+def checkpoint_path(cfg: PIMLConfig, finetuned: bool) -> str:
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    path = os.path.join(cfg.save_dir, f"{cfg.exp_name}_{cfg.model_name_suffix}")
+    if finetuned:
+        path += "_finetuned"
+    return path
+
+
+def save_params(path: str, params) -> None:
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(path: str, template) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def merge_pretrained(ft_params, pretrained) -> Any:
+    """Partial parameter-tree warm start: copy every pretrained leaf whose
+    path exists in the finetune model (reference: simulators.py:417-422)."""
+    flat_ft = dict(jax.tree_util.tree_flatten_with_path(ft_params)[0])
+    flat_pre = dict(jax.tree_util.tree_flatten_with_path(pretrained)[0])
+    merged = {
+        path: flat_pre.get(path, leaf) if flat_pre.get(path) is not None
+        and flat_pre[path].shape == leaf.shape else leaf
+        for path, leaf in flat_ft.items()
+    }
+    treedef = jax.tree_util.tree_structure(ft_params)
+    ordered = [merged[p] for p, _ in jax.tree_util.tree_flatten_with_path(ft_params)[0]]
+    return jax.tree_util.tree_unflatten(treedef, ordered)
+
+
+# ---------------------------------------------------------------------------
+# trainer
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    epoch: int = 0
+    best_val: float = float("inf")
+    patience: int = 0
+
+
+class Trainer:
+    """Pretrain / finetune driver (reference: BaseSimulator.train/finetune)."""
+
+    def __init__(self, cfg: PIMLConfig, logger: Optional[MetricLogger] = None):
+        self.cfg = cfg
+        self.logger = logger or MetricLogger()
+        self.finetune_flag = False
+        spec = ModelSpec.from_config(cfg, name=pretrain_model_name(cfg.model))
+        self.model = build_model(spec)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    # ------------------------------------------------------------------
+    def init_params(self, sample: PointwiseData):
+        self.rng, key = jax.random.split(self.rng)
+        params = self.model.init(
+            key, sample.ped_features[:1], sample.obs_features[:1],
+            sample.self_features[:1],
+        )
+        n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+        self.logger.info(f"#Trainable Parameters: {n}")
+        return params
+
+    def apply_fn(self, params, pf, of, sf):
+        return self.model.apply(params, pf, of, sf)
+
+    # ------------------------------------------------------------------
+    def _pointwise_step_fn(self):
+        cfg = self.cfg
+        model = self.model
+
+        @jax.jit
+        def step(params, opt_state, ped, obs, self_f, labels, rng):
+            def loss_fn(p):
+                out = model.apply(p, ped, obs, self_f, deterministic=False,
+                                  rngs={"dropout": rng})
+                pred, p_msg = out.pred_acc, out.ped_msgs
+                if cfg.pinnsf_interaction == "loss":
+                    sf_version = "v2" if cfg.iter_flag else "v0"
+                    analytic = forces.pairwise_acceleration(
+                        ped, sf_version, cfg.dataset_name
+                    )
+                    mse = (jnp.sum((p_msg - analytic) ** 2)
+                           + cfg.true_label_weight
+                           * jnp.sum((pred - labels[:, 4:6]) ** 2))
+                else:
+                    mse = jnp.sum((pred - labels[:, 4:6]) ** 2)
+                loss = mse
+                reg = jnp.zeros(())
+                if cfg.reg_weight > 0 and p_msg is not None:
+                    reg = losses.l1_reg_loss(p_msg, cfg.reg_weight, "sum")
+                    loss = loss + reg
+                cp_loss = jnp.zeros(())
+                cp_acc = jnp.zeros(())
+                if cfg.collision_pred_weight > 0 and out.coll_pred is not None \
+                        and cfg.model == "pinnsf_bm":
+                    target = labels[:, 6:]
+                    cp_loss = losses.binary_cross_entropy(out.coll_pred, target, "sum")
+                    cp_acc = jnp.mean(
+                        (jnp.round(out.coll_pred) == target).astype(jnp.float32)
+                    )
+                    loss = loss + cp_loss
+                return loss, (mse, reg, cp_loss, cp_acc)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        return step
+
+    def _validate_pointwise_fn(self):
+        model = self.model
+
+        @jax.jit
+        def run(params, ped, obs, self_f, labels):
+            pred = model.apply(params, ped, obs, self_f).pred_acc
+            return jnp.mean((pred - labels[:, 4:6]) ** 2)
+
+        return run
+
+    # ------------------------------------------------------------------
+    def train_pointwise(
+        self,
+        train_data: PointwiseData,
+        valid_data: PointwiseData,
+        params=None,
+    ) -> TrainState:
+        """Pointwise pretraining with early stopping
+        (reference: simulators.py:291-393, tensor-batch branch)."""
+        cfg = self.cfg
+        self.tx = make_optimizer(cfg, finetune=False)
+        if params is None:
+            params = self.init_params(train_data)
+        opt_state = self.tx.init(params)
+        state = TrainState(params, opt_state)
+        step = self._pointwise_step_fn()
+        validate = self._validate_pointwise_fn()
+        np_rng = np.random.RandomState(cfg.seed)
+        patience_limit = cfg.ft_patience if cfg.compat_swapped_patience else cfg.patience
+
+        start = time.time()
+        for epoch in range(cfg.epochs):
+            state.epoch = epoch
+            batches = make_batches(len(train_data), cfg.batch_size, np_rng,
+                                   shuffle=True)
+            log = dict(loss=0.0, mse=0.0, reg=0.0, cp=0.0, cp_acc=0.0)
+            n_train = 0
+            for idx in batches:
+                idx = jnp.asarray(idx)
+                self.rng, key = jax.random.split(self.rng)
+                state.params, state.opt_state, loss, aux = step(
+                    state.params, state.opt_state,
+                    train_data.ped_features[idx], train_data.obs_features[idx],
+                    train_data.self_features[idx], train_data.labels[idx], key,
+                )
+                mse, reg, cp, cp_acc = aux
+                n_train += len(idx)
+                log["loss"] += float(loss)
+                log["mse"] += float(mse)
+                log["reg"] += float(reg)
+                log["cp"] += float(cp)
+                log["cp_acc"] += float(cp_acc) * len(idx)
+
+            n_train = max(n_train, 1)
+            self.logger.log(
+                epoch=epoch, time=time.time() - start,
+                train_loss=log["loss"] / n_train, train_mse=log["mse"] / n_train,
+                coll_pred=log["cp"] / n_train, acc_pred=log["cp_acc"] / n_train,
+            )
+
+            val_loss = float(validate(
+                state.params, valid_data.ped_features, valid_data.obs_features,
+                valid_data.self_features, valid_data.labels,
+            ))
+            self.logger.log(epoch=epoch, val_loss=val_loss, val_mse=val_loss)
+
+            if val_loss < state.best_val:
+                self.logger.info(f"model saved at epoch {epoch}")
+                save_params(checkpoint_path(cfg, self.finetune_flag), state.params)
+                state.best_val = val_loss
+                state.patience = 0
+            else:
+                state.patience += 1
+                if state.patience > patience_limit:
+                    break
+        return state
+
+    # ------------------------------------------------------------------
+    def finetune(
+        self,
+        train_batches: List[ChanneledData],
+        valid_data: List[TimeIndexedData],
+        test_data: Optional[List[TimeIndexedData]] = None,
+        pretrained=None,
+    ) -> TrainState:
+        """Rollout finetuning (reference: simulators.py:409-428): fresh
+        finetune model, partial warm start, BPTT through the scan."""
+        cfg = self.cfg
+        spec = ModelSpec.from_config(cfg)
+        self.model = build_finetune_model(spec)
+        self.finetune_flag = True
+        self.tx = make_optimizer(cfg, finetune=True)
+
+        sample = train_batches[0]
+        self.rng, key = jax.random.split(self.rng)
+        params = self.model.init(
+            key, sample.ped_features[0, 0], sample.obs_features[0, 0],
+            sample.self_features[0, 0],
+        )
+        if pretrained is None:
+            pre_path = checkpoint_path(cfg, finetuned=False)
+            if os.path.exists(pre_path):
+                spec_pre = ModelSpec.from_config(cfg, name=pretrain_model_name(cfg.model))
+                pre_model = build_model(spec_pre)
+                template = pre_model.init(
+                    jax.random.PRNGKey(0), sample.ped_features[0, 0],
+                    sample.obs_features[0, 0], sample.self_features[0, 0],
+                )
+                pretrained = load_params(pre_path, template)
+        if pretrained is not None:
+            params = merge_pretrained(params, pretrained)
+
+        opt_state = self.tx.init(params)
+        state = TrainState(params, opt_state)
+
+        apply_fn = lambda p, pf, of, sf: self.model.apply(p, pf, of, sf)
+
+        @jax.jit
+        def ft_step(params, opt_state, batch: ChanneledData):
+            def loss_fn(p):
+                out = training_rollout_loss(p, apply_fn, cfg, batch)
+                return out.loss, out
+
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state2 = self.tx.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            return params2, opt_state2, out
+
+        def validate() -> float:
+            m = evaluate_rollouts(state.params, apply_fn, cfg, valid_data,
+                                  test_flag=False)
+            self.logger.log(val_loss=m.loss, val_mse=m.mse,
+                            val_coll=m.collision, val_hard_coll=m.hard_collision)
+            return m.loss
+
+        patience_limit = cfg.patience if cfg.compat_swapped_patience else cfg.ft_patience
+        # epoch-0 checkpoint + baseline validation (simulators.py:298-304)
+        save_params(checkpoint_path(cfg, True), state.params)
+        state.best_val = validate()
+
+        start = time.time()
+        for epoch in range(cfg.epochs):
+            state.epoch = epoch
+            coll_count = hard_count = 0.0
+            log = dict(loss=0.0, mse=0.0, coll=0.0, hard=0.0, cp=0.0, reg=0.0)
+            n_train = 0
+            for batch in train_batches:
+                state.params, state.opt_state, out = ft_step(
+                    state.params, state.opt_state, batch
+                )
+                n_train += int(np.sum(np.asarray(batch.mask_p_pred) == 1))
+                coll_count += float(out.collision_count)
+                hard_count += float(out.hard_collision_count)
+                log["loss"] += float(out.loss)
+                log["mse"] += float(out.mse_loss)
+                log["coll"] += float(out.collision_loss)
+                log["hard"] += float(out.hard_collision_loss)
+                log["cp"] += float(out.collision_pred_loss)
+                log["reg"] += float(out.reg_loss)
+
+            n_train = max(n_train, 1)
+            self.logger.log(
+                epoch=epoch, time=time.time() - start,
+                train_loss=log["loss"] / n_train, train_mse=log["mse"] / n_train,
+                coll_loss=log["coll"] / n_train, hard_coll_loss=log["hard"] / n_train,
+                coll_count=coll_count, hard_coll_count=hard_count,
+            )
+
+            val_loss = validate()
+            if val_loss < state.best_val:
+                self.logger.info(f"model saved at epoch {epoch}")
+                save_params(checkpoint_path(cfg, True), state.params)
+                state.best_val = val_loss
+                state.patience = 0
+            else:
+                state.patience += 1
+                if state.patience > patience_limit:
+                    break
+
+        if test_data:
+            m = evaluate_rollouts(state.params, apply_fn, cfg, test_data,
+                                  test_flag=True)
+            self.logger.log(test_loss=m.loss, test_mse=m.mse, test_mae=m.mae,
+                            test_ot=m.ot, test_mmd=m.mmd,
+                            test_coll=m.collision, test_hard_coll=m.hard_collision)
+        return state
