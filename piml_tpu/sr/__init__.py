@@ -1,0 +1,12 @@
+from piml_tpu.sr.extract import (  # noqa: F401
+    direction_filter,
+    post_filter,
+    prepare_symbolic_regression_data,
+    prepare_symbolic_regression_data_polar,
+)
+from piml_tpu.sr.fit import (  # noqa: F401
+    ForceLawFit,
+    HAVE_PYSR,
+    fit_force_law,
+    symbolic_regression,
+)

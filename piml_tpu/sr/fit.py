@@ -1,0 +1,92 @@
+"""Force-law fitting: PySR bridge + closed-form fallback.
+
+Reference: src/symbolic_regression.py:38-52 fits the extracted (features,
+messages) pairs with PySR (Julia, ops ``+ * exp cos``).  PySR is an optional
+dependency here; when absent, :func:`fit_force_law` fits the known discovered
+family ``F(r, cosθ) = A · exp(B·r + C·cosθ + D·r·cosθ)`` in closed form —
+log-linear least squares — which is exactly the family the reference's SR
+runs converged to (src/models/mlapm.py, src/utils/utils.py:47-93).  The
+fitted constants feed :class:`piml_tpu.models.MLAPMParams` and the
+``pinnsf_interaction='loss'`` supervision for the next PIML iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+try:  # optional PySR bridge (not available in this environment)
+    from pysr import PySRRegressor  # type: ignore
+
+    HAVE_PYSR = True
+except Exception:  # pragma: no cover
+    HAVE_PYSR = False
+
+
+@dataclasses.dataclass
+class ForceLawFit:
+    A: float
+    B: float
+    C: float
+    D: float
+    r2: float  # coefficient of determination in log space
+
+    def magnitude(self, r: np.ndarray, cos: np.ndarray) -> np.ndarray:
+        return self.A * np.exp(self.B * r + self.C * cos + self.D * r * cos)
+
+
+def fit_force_law(
+    r: np.ndarray, cos: np.ndarray, magnitude: np.ndarray,
+    include_cos: bool = True, eps: float = 1e-8,
+) -> ForceLawFit:
+    """Log-linear least squares for ``A·exp(B·r + C·cosθ + D·r·cosθ)``.
+
+    ``include_cos=False`` restricts to the v0 family ``A·exp(B·r)``.
+    """
+    keep = magnitude > eps
+    r, cos, mag = r[keep], cos[keep], magnitude[keep]
+    y = np.log(mag)
+    cols = [np.ones_like(r), r]
+    if include_cos:
+        cols += [cos, r * cos]
+    X = np.stack(cols, axis=1)
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ coef
+    ss_res = np.sum((y - pred) ** 2)
+    ss_tot = np.sum((y - y.mean()) ** 2) + 1e-12
+    A = float(np.exp(coef[0]))
+    B = float(coef[1])
+    C = float(coef[2]) if include_cos else 0.0
+    D = float(coef[3]) if include_cos else 0.0
+    return ForceLawFit(A=A, B=B, C=C, D=D, r2=float(1 - ss_res / ss_tot))
+
+
+def fit_direction_bias(direction: np.ndarray, sign_feature: np.ndarray) -> float:
+    """Fit the angular bias theta (degrees): the discovered direction law is
+    ``θ_force ≈ θ_r + sign · theta`` (reference MLAPM rotation,
+    mlapm.py:33-38).  Estimates theta as the mean |direction| residual."""
+    keep = np.abs(sign_feature) > 0
+    if keep.sum() == 0:
+        return 0.0
+    return float(np.rad2deg(np.mean(np.abs(direction[keep]))))
+
+
+def symbolic_regression(X: np.ndarray, y: np.ndarray,
+                        unary_ops=("exp", "cos"), niterations: int = 10,
+                        populations: int = 8):
+    """PySR search when available (reference: symbolic_regression.py:38-52);
+    raises otherwise — callers fall back to :func:`fit_force_law`."""
+    if not HAVE_PYSR:
+        raise RuntimeError(
+            "PySR not available; use fit_force_law for the closed-form family"
+        )
+    model = PySRRegressor(
+        niterations=niterations,
+        populations=populations,
+        binary_operators=["+", "*"],
+        unary_operators=list(unary_ops),
+    )
+    model.fit(X, y)
+    return model
