@@ -95,14 +95,54 @@ class TimeIndexedData:
         )
 
 
-def make_time_indexed(cfg: PIMLConfig, scene: Scene,
-                      polar: bool = False) -> TimeIndexedData:
-    """Build the supervised frame-keyed view (reference: data.py:746-834)."""
-    ncfg = neighbor_config(cfg)
-    ped_f, obs_f, dest_f = relative_features(
-        scene.position, scene.velocity, scene.acceleration,
-        scene.destination, scene.obstacles, ncfg,
+def _relative_features_chunked(scene: Scene, ncfg: NeighborConfig,
+                               time_chunk: int):
+    """Feature pass chunked over time with ``lax.map`` so large scenes (GC:
+    750 × 12685² pair distances) never materialize all frames at once.  The
+    heading fill runs over the full trajectory first (it crosses chunk
+    boundaries), then frames are processed ``time_chunk`` at a time."""
+    import jax
+
+    vel = jnp.where(jnp.isnan(scene.velocity), 0.0, scene.velocity)
+    heading = heading_direction(vel)
+    T = scene.num_steps
+    if time_chunk <= 0 or T <= time_chunk:
+        return relative_features(
+            scene.position, scene.velocity, scene.acceleration,
+            scene.destination, scene.obstacles, ncfg, heading=heading,
+        )
+
+    pad = (-T) % time_chunk
+    padt = lambda x: jnp.concatenate(
+        [x, jnp.full((pad,) + x.shape[1:], jnp.nan, x.dtype)], axis=0
+    ) if pad else x
+    chunk = lambda x: padt(x).reshape((-1, time_chunk) + x.shape[1:])
+
+    def one(args):
+        p, v, a, d, h = args
+        return relative_features(p, v, a, d, scene.obstacles, ncfg, heading=h)
+
+    ped_f, obs_f, dest_f = jax.lax.map(
+        one,
+        (chunk(scene.position), chunk(scene.velocity),
+         chunk(scene.acceleration), chunk(scene.destination), chunk(heading)),
     )
+    unchunk = lambda x: x.reshape((-1,) + x.shape[2:])[:T]
+    return unchunk(ped_f), unchunk(obs_f), unchunk(dest_f)
+
+
+def make_time_indexed(cfg: PIMLConfig, scene: Scene, polar: bool = False,
+                      time_chunk: int = 0) -> TimeIndexedData:
+    """Build the supervised frame-keyed view (reference: data.py:746-834).
+
+    ``time_chunk > 0`` bounds peak memory of the O(T·N²) feature pass; it is
+    chosen automatically for large scenes when 0.
+    """
+    ncfg = neighbor_config(cfg)
+    if time_chunk == 0 and scene.num_pedestrians > 1024:
+        # keep the (chunk, N, N) distance workspace near ~256M floats
+        time_chunk = max(1, int(2.5e8 // (scene.num_pedestrians ** 2)))
+    ped_f, obs_f, dest_f = _relative_features_chunked(scene, ncfg, time_chunk)
 
     hist_v = history_velocity(scene.velocity, cfg.num_history_velocity)
     ds = calc_desired_speed(scene.velocity, cfg.skip_frames)  # (N,)

@@ -119,6 +119,7 @@ def nearby_in_sight(
     heading: jax.Array,
     k: int,
     angle_threshold: float,
+    same_objects: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Indices/distances of the k closest objects inside the field of view.
 
@@ -127,14 +128,49 @@ def nearby_in_sight(
     carry +inf distance.  Mirrors src/data/data.py:416-447 including the
     literal ``cos(3.14 * angle / 180)`` threshold (not ``pi``), which is what
     excludes the self-pair: the zero relative vector has cosine 0 < cos(3.14/2).
-    """
-    rel = objects[..., None, :, :] - position[..., :, None, :]  # ..., N, M, 2
-    rel = jnp.where(jnp.isnan(rel), INF, rel)
-    dist = jnp.linalg.norm(rel, axis=-1)  # inf propagates; inf-inf -> nan
-    dist = jnp.where(jnp.isnan(dist), INF, dist)
 
-    cos = _cosine_similarity(rel, heading[..., :, None, :])
-    cos = jnp.where(jnp.isnan(cos), -1.0, cos)
+    TPU-native formulation: instead of materializing the (..., N, M, 2)
+    relative-vector tensor, squared distances and the FOV cosine come from two
+    (N, M) matmuls (MXU) —
+    ``|p_j − p_i|² = |p_i|² + |p_j|² − 2·p_i·p_j`` and
+    ``(p_j − p_i)·h_i = p_j·h_i − p_i·h_i`` — so peak memory is O(N·M), not
+    O(N·M·d), which is what makes the 12k-agent GC scene fit on one chip.
+    """
+    pos = jnp.where(jnp.isnan(position), 0.0, position)
+    obj = jnp.where(jnp.isnan(objects), 0.0, objects)
+    absent_p = jnp.any(jnp.isnan(position), axis=-1)  # ..., N
+    absent_o = jnp.any(jnp.isnan(objects), axis=-1)   # ..., M
+
+    # f32 MXU passes: the default TPU bf16 matmul precision destroys the
+    # |p_i|² + |p_j|² − 2·p_i·p_j cancellation (errors ~0.1 m at |p|~50 m).
+    hi = lax.Precision.HIGHEST
+    p_sq = jnp.sum(pos * pos, axis=-1)  # ..., N
+    o_sq = jnp.sum(obj * obj, axis=-1)  # ..., M
+    dot = jnp.einsum("...nd,...md->...nm", pos, obj, precision=hi)
+    dist2 = p_sq[..., :, None] + o_sq[..., None, :] - 2.0 * dot
+    dist = jnp.sqrt(jnp.maximum(dist2, 0.0))
+    invalid = absent_p[..., :, None] | absent_o[..., None, :]
+    dist = jnp.where(invalid, INF, dist)
+
+    # FOV cosine with torch.cosine_similarity eps semantics: the relative
+    # vector's norm IS the distance; |heading| is 1 or 0 (guarded at 1e-8).
+    rel_dot_h = (
+        jnp.einsum("...md,...nd->...nm", obj, heading, precision=hi)
+        - jnp.sum(pos * heading, axis=-1)[..., :, None]
+    )
+    h_norm = jnp.maximum(jnp.linalg.norm(heading, axis=-1), 1e-8)
+    cos = rel_dot_h / jnp.maximum(dist, 1e-8) / h_norm[..., :, None]
+    cos = jnp.where(invalid | jnp.isnan(cos), -1.0, cos)
+
+    if same_objects:
+        # pin the self-pair exactly: zero relative vector → dist 0, cosine 0
+        # (the reference's zero-vector cosine, data.py:439-443) so the FOV
+        # threshold alone decides self-inclusion, free of cancellation noise.
+        n = position.shape[-2]
+        eye = jnp.eye(n, dtype=bool)
+        dist = jnp.where(eye & ~invalid, 0.0, dist)
+        cos = jnp.where(eye & ~invalid, 0.0, cos)
+
     dist = jnp.where(cos < math.cos(3.14 * angle_threshold / 180.0), INF, dist)
 
     # The reference's sort + [:k] naturally yields min(k, M) columns
@@ -191,12 +227,23 @@ def relative_features(
     if heading is None:
         heading = heading_direction(velocity)
 
-    ped_dist, ped_idx = nearby_in_sight(
-        position, position, heading, cfg.topk_ped, cfg.sight_angle_ped
-    )
+    # Never materialize the (..., N, M, 6) relative tensor: select neighbor
+    # indices first (O(N·M) matmul distances), then gather-and-subtract the
+    # (..., N, k, 6) selected rows only.
     state = jnp.concatenate([position, velocity, acceleration], axis=-1)  # ..., N, 6
-    rel = state[..., None, :, :] - state[..., :, None, :]  # ..., N, M, 6
-    ped_features = gather_filtered(rel, ped_idx, ped_dist, cfg.dist_threshold_ped)
+
+    ped_dist, ped_idx = nearby_in_sight(
+        position, position, heading, cfg.topk_ped, cfg.sight_angle_ped,
+        same_objects=True,
+    )
+    gathered = jnp.take_along_axis(
+        state,
+        ped_idx.reshape(ped_idx.shape[:-2] + (-1,))[..., None],
+        axis=-2,
+    ).reshape(ped_idx.shape + (state.shape[-1],))
+    rel = gathered - state[..., :, None, :]
+    keep = (ped_dist <= cfg.dist_threshold_ped)[..., None]
+    ped_features = jnp.where(keep & jnp.isfinite(rel), rel, 0.0)
 
     dest_features = destination - position
     dest_features = jnp.where(jnp.isnan(dest_features), 0.0, dest_features)
@@ -208,9 +255,15 @@ def relative_features(
         position, obs, heading, cfg.topk_obs, cfg.sight_angle_obs
     )
     zeros = jnp.zeros_like(obs)
-    obs_state = jnp.concatenate([obs, zeros, zeros], axis=-1)
-    rel_obs = obs_state[..., None, :, :] - state[..., :, None, :]
-    obs_features = gather_filtered(rel_obs, obs_idx, obs_dist, cfg.dist_threshold_obs)
+    obs_state = jnp.concatenate([obs, zeros, zeros], axis=-1)  # ..., M, 6
+    gathered_o = jnp.take_along_axis(
+        obs_state,
+        obs_idx.reshape(obs_idx.shape[:-2] + (-1,))[..., None],
+        axis=-2,
+    ).reshape(obs_idx.shape + (obs_state.shape[-1],))
+    rel_o = gathered_o - state[..., :, None, :]
+    keep_o = (obs_dist <= cfg.dist_threshold_obs)[..., None]
+    obs_features = jnp.where(keep_o & jnp.isfinite(rel_o), rel_o, 0.0)
 
     return ped_features, obs_features, dest_features
 

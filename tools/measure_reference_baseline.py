@@ -1,0 +1,141 @@
+"""Measure the reference-architecture rollout throughput to anchor bench.py.
+
+The reference's inference hot loop (src/models/simulators.py:595-652) is a
+per-frame Python loop over torch CPU ops: dense O(N²) relative features with a
+full sort (src/data/data.py:416-463), an encode-process-decode MLP forward,
+Euler updates and bookkeeping.  This script re-creates that *workload* in
+torch (independent implementation of the documented semantics — dense
+(N, N, 6) relative tensors, full sort, per-frame Python stepping) and times
+agent-steps/sec.
+
+At GC scale (N = 12,685) the dense (N, N, 6) tensors the reference
+materializes need ~12 GB+, so the measurement runs at smaller N and fits the
+quadratic cost model ``t(N) = a·N² + b·N + c`` to extrapolate, recording both
+the measured points and the extrapolation in BASELINE_MEASURED.json.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "repo", "BASELINE_MEASURED.json")
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                   "BASELINE_MEASURED.json")
+
+K1, K2 = 6, 10
+ENC, PROC, DEC = 128, 128, 64
+
+
+class EdgeNet(nn.Module):
+    """pinnsf_bm-dimensioned edge network (paper config: enc 128×3,
+    effective processor depth 1, dec 64×2, per-edge predictor)."""
+
+    def __init__(self):
+        super().__init__()
+        self.enc = nn.Sequential(
+            nn.Linear(6, ENC), nn.ReLU(), nn.Linear(ENC, ENC), nn.ReLU(),
+            nn.Linear(ENC, ENC),
+        )
+        self.proc = nn.Sequential(nn.Linear(ENC, PROC), nn.ReLU())
+        self.dec = nn.Sequential(nn.Linear(PROC, DEC), nn.ReLU(), nn.Linear(DEC, DEC))
+        self.pred = nn.Linear(DEC, 2)
+
+    def forward(self, x):
+        h = self.enc(x)
+        h = self.proc(h) + h
+        h = self.dec(h)
+        return self.pred(h)
+
+
+@torch.no_grad()
+def dense_features(pos, vel, acc, heading, k, angle_deg, dist_thr):
+    """Dense pairwise features exactly as the reference shapes them:
+    (N, N, 6) relative tensor → FOV mask → full sort → top-k gather."""
+    n = pos.shape[0]
+    state = torch.cat([pos, vel, acc], dim=-1)
+    rel = state.unsqueeze(0) - state.unsqueeze(1)          # N, N, 6
+    dist = torch.norm(rel[..., :2], dim=-1)                # N, N
+    cos = torch.nn.functional.cosine_similarity(
+        rel[..., :2], heading.unsqueeze(1).expand(n, n, 2), dim=-1
+    )
+    dist = torch.where(cos < np.cos(3.14 * angle_deg / 180), torch.inf, dist)
+    sorted_dist, idx = torch.sort(dist, dim=-1)
+    idx = idx[:, :k]
+    feats = torch.gather(rel, 1, idx.unsqueeze(-1).expand(n, k, 6))
+    feats[sorted_dist[:, :k].unsqueeze(-1).expand(n, k, 6) > dist_thr] = 0
+    return feats
+
+
+@torch.no_grad()
+def time_rollout(n, frames=5, seed=0):
+    torch.manual_seed(seed)
+    pos = torch.rand(n, 2) * 30
+    vel = torch.randn(n, 2)
+    acc = torch.randn(n, 2) * 0.1
+    dest = torch.rand(n, 2) * 30
+    model = EdgeNet().eval()
+    obs_model = EdgeNet().eval()
+    obstacles = torch.rand(400, 2) * 30
+    dt = 0.08
+
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        heading = vel / vel.norm(dim=-1, keepdim=True).clamp_min(0.1)
+        ped_f = dense_features(pos, vel, acc, heading, K1, 90, 4.0)
+        # obstacle branch: dense N×M relative rows
+        rel_o = obstacles.unsqueeze(0) - pos.unsqueeze(1)        # N, M, 2
+        dist_o = rel_o.norm(dim=-1)
+        idx_o = torch.sort(dist_o, dim=-1).indices[:, :K2]
+        obs_rows = torch.gather(
+            torch.cat([rel_o, torch.zeros(n, obstacles.shape[0], 4)], -1),
+            1, idx_o.unsqueeze(-1).expand(n, K2, 6),
+        )
+        a_ped = model(ped_f).sum(dim=1)
+        a_obs = obs_model(obs_rows).sum(dim=1)
+        ed = dest - pos
+        ed = ed / ed.norm(dim=-1, keepdim=True).clamp_min(0.1)
+        a = a_ped + a_obs + (1.34 * ed - vel) / 2.0
+        vel = vel + a * dt
+        pos = pos + vel * dt
+    elapsed = time.perf_counter() - t0
+    return elapsed / frames
+
+
+def main():
+    torch.set_num_threads(os.cpu_count() or 8)
+    sizes = [1000, 2000, 4000]
+    times = []
+    for n in sizes:
+        t = time_rollout(n)
+        times.append(t)
+        print(f"N={n}: {t*1e3:.1f} ms/frame ({n/t:.0f} agent-steps/s)")
+
+    # quadratic fit for extrapolation to GC scale
+    A = np.stack([np.array(sizes, float) ** 2, np.array(sizes, float),
+                  np.ones(len(sizes))], axis=1)
+    coef, *_ = np.linalg.lstsq(A, np.array(times), rcond=None)
+    n_gc = 12685
+    t_gc = float(coef[0] * n_gc ** 2 + coef[1] * n_gc + coef[2])
+    steps_per_sec = n_gc / t_gc
+    print(f"extrapolated GC (N={n_gc}): {t_gc*1e3:.0f} ms/frame "
+          f"({steps_per_sec:.0f} agent-steps/s)")
+
+    with open(os.path.abspath(OUT), "w") as f:
+        json.dump({
+            "agent_steps_per_sec": steps_per_sec,
+            "method": "torch-cpu dense O(N^2) per-frame loop, quadratic "
+                      "extrapolation from measured sizes",
+            "measured": {str(n): t for n, t in zip(sizes, times)},
+            "frame_time_s_at_gc": t_gc,
+            "threads": torch.get_num_threads(),
+        }, f, indent=2)
+    print(f"wrote {os.path.abspath(OUT)}")
+
+
+if __name__ == "__main__":
+    main()
