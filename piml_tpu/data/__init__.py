@@ -17,3 +17,4 @@ from piml_tpu.data.datasets import (  # noqa: F401
     channel_batches,
     load_scenes,
 )
+from piml_tpu.data import processing  # noqa: F401

@@ -62,29 +62,53 @@ def decode_arrays(meta_data: dict, trajectories: Sequence, destinations: Sequenc
     num_peds = len(trajectories)
     num_dests = int(max(len(d) for d in destinations))
 
-    position = np.zeros((num_steps, num_peds, 2), dtype=np.float32)
-    mask_p = np.zeros((num_steps, num_peds), dtype=np.float32)
-    mask_v = np.zeros((num_steps, num_peds), dtype=np.float32)
-    mask_a = np.zeros((num_steps, num_peds), dtype=np.float32)
+    # Fast path: the O(sum T_i) densification + finite differences run in the
+    # native codec core (piml_tpu/native/codec_core.cpp) when available.
+    native_out = None
+    try:
+        from piml_tpu import native as _native
 
-    # Densify trajectories — vectorized per pedestrian (the reference uses a
-    # per-point Python loop, src/data/data.py:115-124).
-    for i, traj in enumerate(trajectories):
-        arr = np.asarray(traj, dtype=np.float64)
-        ts = arr[:, 2].astype(np.int64)
-        position[ts, i, :] = arr[:, :2]
-        mask_p[ts, i] = 1.0
-        mask_v[ts, i] = 1.0
-        mask_a[ts, i] = 1.0
-        t_last = ts[-1]
-        # last frame has no forward difference; second-to-last has no acc
-        mask_v[t_last, i] = 0.0
-        mask_a[t_last, i] = 0.0
-        if t_last >= 1:
-            mask_a[t_last - 1, i] = 0.0
+        pts = [np.asarray(t, np.float64).reshape(-1, 3) for t in trajectories]
+        offsets = np.zeros(num_peds + 1, np.int64)
+        offsets[1:] = np.cumsum([p.shape[0] for p in pts])
+        flat = np.concatenate(pts, axis=0) if pts else np.zeros((0, 3))
+        if np.isnan(flat[:, :2]).any():
+            raise SceneFormatError("raw scene data must not contain NaN values")
+        native_out = _native.densify(flat, offsets, num_steps, num_peds, dt)
+    except SceneFormatError:
+        raise
+    except Exception:
+        native_out = None
 
-    if np.isnan(position[mask_p == 1]).any():
-        raise SceneFormatError("raw scene data must not contain NaN values")
+    if native_out is not None:
+        position = native_out["position"]
+        mask_p = native_out["mask_p"]
+        mask_v = native_out["mask_v"]
+        mask_a = native_out["mask_a"]
+    else:
+        position = np.zeros((num_steps, num_peds, 2), dtype=np.float32)
+        mask_p = np.zeros((num_steps, num_peds), dtype=np.float32)
+        mask_v = np.zeros((num_steps, num_peds), dtype=np.float32)
+        mask_a = np.zeros((num_steps, num_peds), dtype=np.float32)
+
+        # Densify trajectories — vectorized per pedestrian (the reference
+        # uses a per-point Python loop, src/data/data.py:115-124).
+        for i, traj in enumerate(trajectories):
+            arr = np.asarray(traj, dtype=np.float64)
+            ts = arr[:, 2].astype(np.int64)
+            position[ts, i, :] = arr[:, :2]
+            mask_p[ts, i] = 1.0
+            mask_v[ts, i] = 1.0
+            mask_a[ts, i] = 1.0
+            t_last = ts[-1]
+            # last frame has no forward difference; second-to-last has no acc
+            mask_v[t_last, i] = 0.0
+            mask_a[t_last, i] = 0.0
+            if t_last >= 1:
+                mask_a[t_last - 1, i] = 0.0
+
+        if np.isnan(position[mask_p == 1]).any():
+            raise SceneFormatError("raw scene data must not contain NaN values")
 
     # Destinations / waypoints
     destination = np.zeros((num_steps, num_peds, 2), dtype=np.float32)
@@ -108,14 +132,20 @@ def decode_arrays(meta_data: dict, trajectories: Sequence, destinations: Sequenc
     destination[absent] = np.nan
     position[absent] = np.nan
 
-    # Finite differences with last-frame duplication (src/data/data.py:149-156)
-    velocity = (np.concatenate([position[1:], position[-1:]], axis=0) - position) / dt
-    velocity[mask_v == 0] = 0.0
-    acceleration = (np.concatenate([velocity[1:], velocity[-1:]], axis=0) - velocity) / dt
-    acceleration[mask_a == 0] = 0.0
+    if native_out is not None:
+        velocity = native_out["velocity"]
+        acceleration = native_out["acceleration"]
+    else:
+        # Finite differences with last-frame duplication (data.py:149-156)
+        velocity = (np.concatenate([position[1:], position[-1:]], axis=0)
+                    - position) / dt
+        velocity[mask_v == 0] = 0.0
+        acceleration = (np.concatenate([velocity[1:], velocity[-1:]], axis=0)
+                        - velocity) / dt
+        acceleration[mask_a == 0] = 0.0
 
-    if np.isnan(velocity).any() or np.isnan(acceleration).any():
-        raise SceneFormatError("NaN leaked into velocity/acceleration")
+        if np.isnan(velocity).any() or np.isnan(acceleration).any():
+            raise SceneFormatError("NaN leaked into velocity/acceleration")
 
     return dict(
         meta_data=dict(meta_data),

@@ -1,0 +1,135 @@
+"""Generator + symbolic-regression pipeline tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from piml_tpu.gen import (
+    SCENARIOS,
+    SFParams,
+    circle_demo,
+    route,
+    simulate,
+    to_scene,
+)
+from piml_tpu.sr import direction_filter, fit_force_law, post_filter
+
+
+def test_route_straight_when_clear():
+    od = np.array([[0.0, 0.0], [10.0, 0.0]])
+    obs = np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0]])  # far away
+    wp = route(od, obs)
+    assert wp.shape == (3, 1, 2)
+    np.testing.assert_allclose(wp[1, 0], od[1], atol=1e-9)  # relay == dest
+
+
+def test_route_deflects_around_obstacle():
+    od = np.array([[0.0, 0.0], [10.0, 0.0]])
+    # vertical wall crossing the segment at x=5
+    obs = np.array([[5.0, -2.0], [5.0, 2.0]])
+    wp = route(od, obs)
+    relay = wp[1, 0]
+    # relay must leave the straight line
+    assert abs(relay[1]) > 1.0 or relay[0] != 10.0
+
+
+@pytest.mark.parametrize("name", ["crosswalk", "basic_unit1", "basic_unit2",
+                                  "basic_unit3", "four_directional_square"])
+def test_scenarios_build(name):
+    sched, obstacles = SCENARIOS[name](40, seed=0)
+    n = sched.position.shape[0]
+    assert sched.spawn_frame.shape == (n,)
+    assert sched.waypoints.shape[1] == n
+    assert (np.asarray(sched.desired_speed) > 0).any()
+
+
+def test_socialforce_agents_progress():
+    """Pure SF corridor flow: agents must move toward +x."""
+    params = SFParams()
+    sched, obstacles = SCENARIOS["basic_unit1"](60, seed=1)
+    ps, vs, act = simulate(params, sched, jnp.asarray(obstacles), 60)
+    ps = np.asarray(ps)
+    first = np.asarray(sched.spawn_frame)
+    # slot 0 spawns at frame 0 at x=0 and walks right
+    assert first[0] == 0
+    xs = ps[:, 0, 0]
+    xs = xs[np.isfinite(xs)]
+    assert xs[-1] > xs[0] + 1.0
+
+
+def test_socialforce_repulsion_separates():
+    """Two agents head-on: SF repulsion keeps them apart."""
+    from piml_tpu.gen.socialforce import SpawnSchedule
+
+    params = SFParams(oversampling=5)
+    sched = SpawnSchedule(
+        spawn_frame=jnp.zeros(2, jnp.int32),
+        position=jnp.array([[0.0, 0.0], [4.0, 0.3]]),
+        velocity=jnp.array([[1.2, 0.0], [-1.2, 0.0]]),
+        waypoints=jnp.array([[[20.0, 0.0], [-20.0, 0.3]]]),
+        dest_num=jnp.ones(2, jnp.int32),
+        desired_speed=jnp.array([1.2, 1.2]),
+    )
+    ps, vs, act = simulate(params, sched, jnp.full((2, 2), 1e4), 50)
+    ps = np.asarray(ps)
+    d = np.linalg.norm(ps[:, 0] - ps[:, 1], axis=-1)
+    d = d[np.isfinite(d)]
+    assert d.min() > 0.3  # repulsion keeps clearance on offset approach
+    # compare against repulsion disabled: clearance must strictly improve
+    params0 = SFParams(oversampling=5, pedped_repulsive_intensity=0.0)
+    ps0, _, _ = simulate(params0, sched, jnp.full((2, 2), 1e4), 50)
+    d0 = np.linalg.norm(np.asarray(ps0)[:, 0] - np.asarray(ps0)[:, 1], axis=-1)
+    assert d.min() > np.nanmin(d0[np.isfinite(d0)])
+
+
+def test_to_scene_roundtrip(tmp_path):
+    params = SFParams()
+    sched, obstacles = SCENARIOS["crosswalk"](40, seed=2)
+    ps, vs, act = simulate(params, sched, jnp.asarray(obstacles), 40)
+    scene = to_scene(params, sched, obstacles, ps, act)
+    path = str(tmp_path / "gen.npy")
+    scene.save(path)
+    from piml_tpu.scene import Scene
+
+    s2 = Scene.load(path)
+    assert s2.num_steps == scene.num_steps
+    assert s2.num_pedestrians == scene.num_pedestrians
+    np.testing.assert_allclose(
+        np.nan_to_num(np.asarray(s2.position)),
+        np.nan_to_num(np.asarray(scene.position)), atol=1e-5,
+    )
+
+
+def test_mlapm_circle_demo_arrives():
+    ps, alive = circle_demo(num_frames=200)
+    assert float(np.asarray(alive)[-1].sum()) == 0  # everyone reached antipode
+
+
+def test_fit_force_law_recovers_constants(rng):
+    A, B, C, D = 7.55, -3.0, 0.2, -0.3
+    r = rng.uniform(0.2, 3.0, 4000)
+    cos = rng.uniform(-1, 1, 4000)
+    mag = A * np.exp(B * r + C * cos + D * r * cos)
+    fit = fit_force_law(r, cos, mag)
+    assert fit.A == pytest.approx(A, rel=1e-3)
+    assert fit.B == pytest.approx(B, rel=1e-3)
+    assert fit.C == pytest.approx(C, abs=1e-3)
+    assert fit.D == pytest.approx(D, abs=1e-3)
+    assert fit.r2 > 0.999
+
+
+def test_post_filter_rebalances(rng):
+    labels = np.concatenate([np.zeros(10000), rng.uniform(1, 5, 100)])
+    feats = rng.randn(len(labels), 3)
+    f2, l2 = post_filter(feats, labels, seed=0)
+    # the dominant zero-bin must be heavily subsampled
+    assert (l2 == 0).sum() < 2000
+    assert (l2 > 1).sum() > 50
+
+
+def test_direction_filter(rng):
+    labels = np.stack([rng.uniform(0, 1, 1000), rng.uniform(-3, 3, 1000)], 1)
+    feats = rng.randn(1000, 6)
+    f2, d2 = direction_filter(feats, labels, percentile=75)
+    assert len(d2) <= 260
+    assert f2.shape[0] == d2.shape[0]

@@ -1,0 +1,70 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from piml_tpu.parallel import (
+    make_dp_finetune_step,
+    make_mesh,
+    replicate,
+    shard_channeled_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (xla_force_host_platform_device_count)")
+    return jax.devices()[:8]
+
+
+def test_graft_dryrun(eight_devices):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_dp_matches_single_device(eight_devices):
+    """Data-parallel step must produce the same updated params as single-device
+    (modulo float reduction order)."""
+    import __graft_entry__ as g
+    import optax
+
+    from piml_tpu.models import ModelSpec, build_finetune_model
+    from piml_tpu.train.trainer import make_optimizer
+    from piml_tpu.engine import training_rollout_loss
+
+    cfg = g._tiny_cfg().replace(ft_batch_size=8)
+    key = jax.random.PRNGKey(0)
+    batch = g._tiny_batchdata(cfg, key)
+
+    spec = ModelSpec.from_config(cfg)
+    model = build_finetune_model(spec)
+    params = model.init(key, batch.ped_features[0, 0], batch.obs_features[0, 0],
+                        batch.self_features[0, 0])
+    tx = make_optimizer(cfg, finetune=True)
+    opt_state = tx.init(params)
+    apply_fn = lambda p, pf, of, sf: model.apply(p, pf, of, sf)
+
+    # single device
+    def single_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: training_rollout_loss(p, apply_fn, cfg, batch).loss
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    p_single, loss_single = jax.jit(single_step)(params, opt_state, batch)
+
+    # 8-way dp
+    mesh = make_mesh(8)
+    step = make_dp_finetune_step(cfg, apply_fn, tx, mesh)
+    p_dp, _, out = step(replicate(params, mesh), replicate(opt_state, mesh),
+                        shard_channeled_batch(batch, mesh))
+
+    assert float(out.loss) == pytest.approx(float(loss_single), rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_single),
+                    jax.tree_util.tree_leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -2,16 +2,20 @@
 
 The reference's inference hot loop (src/models/simulators.py:595-652) is a
 per-frame Python loop over torch CPU ops: dense O(N²) relative features with a
-full sort (src/data/data.py:416-463), an encode-process-decode MLP forward,
-Euler updates and bookkeeping.  This script re-creates that *workload* in
-torch (independent implementation of the documented semantics — dense
-(N, N, 6) relative tensors, full sort, per-frame Python stepping) and times
-agent-steps/sec.
+full sort (src/data/data.py:416-463), encode-process-decode MLP forwards for
+both the pedestrian and obstacle branches, Euler updates and bookkeeping.
+This script re-creates that *workload* in torch (an independent
+implementation of the documented semantics — dense (N, N, 6) relative
+tensors, full sort, per-frame Python stepping) and times agent-steps/sec.
 
-At GC scale (N = 12,685) the dense (N, N, 6) tensors the reference
-materializes need ~12 GB+, so the measurement runs at smaller N and fits the
-quadratic cost model ``t(N) = a·N² + b·N + c`` to extrapolate, recording both
-the measured points and the extrapolation in BASELINE_MEASURED.json.
+Two regimes are measured:
+
+- ``N = 122``: the per-window concurrent agent count of the shipped GC scenes
+  (file ids run 1..12685 across the whole recording; each 60 s window tracks
+  O(100) pedestrians) — this anchors bench.py's like-for-like comparison;
+- larger N up to 4000 plus a quadratic fit, anchoring the 12,685-concurrent
+  synthetic stress number (the dense reference tensors would need >12 GB
+  there, so it is extrapolated).
 """
 
 import json
@@ -22,13 +26,12 @@ import numpy as np
 import torch
 import torch.nn as nn
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "repo", "BASELINE_MEASURED.json")
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                    "BASELINE_MEASURED.json")
 
 K1, K2 = 6, 10
 ENC, PROC, DEC = 128, 128, 64
+N_OBSTACLES = 400
 
 
 class EdgeNet(nn.Module):
@@ -65,9 +68,10 @@ def dense_features(pos, vel, acc, heading, k, angle_deg, dist_thr):
     )
     dist = torch.where(cos < np.cos(3.14 * angle_deg / 180), torch.inf, dist)
     sorted_dist, idx = torch.sort(dist, dim=-1)
-    idx = idx[:, :k]
-    feats = torch.gather(rel, 1, idx.unsqueeze(-1).expand(n, k, 6))
-    feats[sorted_dist[:, :k].unsqueeze(-1).expand(n, k, 6) > dist_thr] = 0
+    kk = min(k, n)
+    idx = idx[:, :kk]
+    feats = torch.gather(rel, 1, idx.unsqueeze(-1).expand(n, kk, 6))
+    feats[sorted_dist[:, :kk].unsqueeze(-1).expand(n, kk, 6) > dist_thr] = 0
     return feats
 
 
@@ -80,7 +84,7 @@ def time_rollout(n, frames=5, seed=0):
     dest = torch.rand(n, 2) * 30
     model = EdgeNet().eval()
     obs_model = EdgeNet().eval()
-    obstacles = torch.rand(400, 2) * 30
+    obstacles = torch.rand(N_OBSTACLES, 2) * 30
     dt = 0.08
 
     t0 = time.perf_counter()
@@ -108,32 +112,43 @@ def time_rollout(n, frames=5, seed=0):
 
 def main():
     torch.set_num_threads(os.cpu_count() or 8)
+    results = {}
+
+    # GC-window regime: repeat for a stable timing at small N
+    n_win = 122
+    t = min(time_rollout(n_win, frames=25, seed=s) for s in range(3))
+    results["gc_window"] = {
+        "n_agents": n_win, "frame_time_s": t, "agent_steps_per_sec": n_win / t,
+    }
+    print(f"GC window N={n_win}: {t*1e3:.1f} ms/frame ({n_win/t:.0f} agent-steps/s)")
+
     sizes = [1000, 2000, 4000]
     times = []
     for n in sizes:
-        t = time_rollout(n)
-        times.append(t)
-        print(f"N={n}: {t*1e3:.1f} ms/frame ({n/t:.0f} agent-steps/s)")
+        tn = time_rollout(n, frames=3)
+        times.append(tn)
+        print(f"N={n}: {tn*1e3:.1f} ms/frame ({n/tn:.0f} agent-steps/s)")
 
-    # quadratic fit for extrapolation to GC scale
     A = np.stack([np.array(sizes, float) ** 2, np.array(sizes, float),
                   np.ones(len(sizes))], axis=1)
     coef, *_ = np.linalg.lstsq(A, np.array(times), rcond=None)
     n_gc = 12685
     t_gc = float(coef[0] * n_gc ** 2 + coef[1] * n_gc + coef[2])
-    steps_per_sec = n_gc / t_gc
-    print(f"extrapolated GC (N={n_gc}): {t_gc*1e3:.0f} ms/frame "
-          f"({steps_per_sec:.0f} agent-steps/s)")
+    results["dense_12685"] = {
+        "n_agents": n_gc, "frame_time_s": t_gc,
+        "agent_steps_per_sec": n_gc / t_gc,
+        "method": "quadratic extrapolation (dense tensors exceed CPU RAM)",
+        "measured": {str(n): tt for n, tt in zip(sizes, times)},
+    }
+    print(f"extrapolated N={n_gc}: {t_gc*1e3:.0f} ms/frame "
+          f"({n_gc/t_gc:.0f} agent-steps/s)")
+
+    results["threads"] = torch.get_num_threads()
+    # headline anchor used by bench.py: like-for-like GC window
+    results["agent_steps_per_sec"] = results["gc_window"]["agent_steps_per_sec"]
 
     with open(os.path.abspath(OUT), "w") as f:
-        json.dump({
-            "agent_steps_per_sec": steps_per_sec,
-            "method": "torch-cpu dense O(N^2) per-frame loop, quadratic "
-                      "extrapolation from measured sizes",
-            "measured": {str(n): t for n, t in zip(sizes, times)},
-            "frame_time_s_at_gc": t_gc,
-            "threads": torch.get_num_threads(),
-        }, f, indent=2)
+        json.dump(results, f, indent=2)
     print(f"wrote {os.path.abspath(OUT)}")
 
 
