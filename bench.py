@@ -140,13 +140,16 @@ def bench_dense_stress():
         hist_v=jnp.zeros((STRESS_FRAMES, n, 2)),
     )
 
-    run = jax.jit(lambda p, s: rollout(
-        p, apply_fn, ecfg, s, spawns, wp, jnp.ones(n, jnp.int32), obstacles, ds
+    # everything enters as arguments — closure-captured device arrays become
+    # XLA constants pinned to slow memory on this backend
+    run = jax.jit(lambda p, s, sp, w, dn, ob, dsx: rollout(
+        p, apply_fn, ecfg, s, sp, w, dn, ob, dsx
     )[1].p)
-    out = run(params, state)
+    dest_num = jnp.ones(n, jnp.int32)
+    out = run(params, state, spawns, wp, dest_num, obstacles, ds)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = run(params, state)
+    out = run(params, state, spawns, wp, dest_num, obstacles, ds)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return {

@@ -104,6 +104,18 @@ class SpawnFrame(NamedTuple):
 ForceFn = Callable[..., Any]  # (params, ped_f, obs_f, self_f) -> ModelOutput-like
 
 
+def select_waypoint(waypoints: jax.Array, dest_idx: jax.Array) -> jax.Array:
+    """Per-agent waypoint lookup ``waypoints[dest_idx[n], n]`` as a select
+    over the small static D axis — a dynamic gather from a D-row table hits a
+    pathological TPU lowering (~500× slower).  NaN-padded waypoint rows
+    contribute zero (they are only addressed for inactive slots)."""
+    d_ids = jnp.arange(waypoints.shape[0])[:, None]              # D, 1
+    onehot = dest_idx[None, :].astype(jnp.int32) == d_ids        # D, N
+    return jnp.sum(
+        jnp.where(onehot[..., None], jnp.nan_to_num(waypoints), 0.0), axis=0
+    )
+
+
 def make_step(
     apply_fn: ForceFn,
     cfg: EngineConfig,
@@ -119,15 +131,16 @@ def make_step(
 
     def features_for(p, v, a, dest, hist_v):
         # single-frame heading: the temporal fill degenerates to the guarded
-        # normalization (reference passes a singleton time axis,
-        # simulators.py:642-646)
+        # normalization (the reference passes a singleton time axis,
+        # simulators.py:642-646; rank-2 inputs give identical semantics and a
+        # far better TPU layout than a (1, N, ·) batch axis)
         ped_f, obs_f, dest_f = relative_features(
-            p[None], v[None], a[None], dest[None], obstacles, cfg.neighbor
+            p, v, a, dest, obstacles, cfg.neighbor
         )
         self_f = jnp.concatenate(
-            [dest_f[0], hist_v, a, desired_speed], axis=-1
+            [dest_f, hist_v, a, desired_speed], axis=-1
         )
-        return ped_f[0], obs_f[0], self_f
+        return ped_f, obs_f, self_f
 
     def step(params, state: EngineState, spawn: SpawnFrame):
         # ---- record current state ------------------------------------------
@@ -170,8 +183,7 @@ def make_step(
         if cfg.retire_on_arrival:
             p_next = jnp.where(arrived[..., None], jnp.nan, p_next)
         dest_idx = jnp.where(arrived, dest_idx - 1, dest_idx)
-        agent_ids = jnp.arange(waypoints.shape[1])
-        dest_next = waypoints[dest_idx.astype(jnp.int32), agent_ids]  # (N, 2)
+        dest_next = select_waypoint(waypoints, dest_idx)  # (N, 2)
 
         # ---- rolling history velocities ------------------------------------
         hist_v = jnp.concatenate([state.hist_v[..., 2:], v_next], axis=-1)

@@ -9,6 +9,7 @@ data/synthetic_data/) by pairing MLAPM with a scenario spawn schedule.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -32,27 +33,35 @@ def circle_demo(n: int = 7, num_frames: int = 200, dt: float = 0.08,
     key = jax.random.PRNGKey(seed)
     v0 = jax.random.uniform(key, (n, 2))
     ds = jnp.full((n, 1), 1.5)
-    dest = -p0
 
-    def step(carry, _):
-        p, v, alive = carry
-        v2 = mlapm_step(params, p, v, ds, dest, dt, radius)
-        p2 = p + v2 * dt
-        keep = alive[:, None] == 1
-        p2 = jnp.where(keep, p2, p)
-        v2 = jnp.where(keep, v2, v)
-        arrived = jnp.linalg.norm(
-            jnp.where(jnp.isnan(p2), 0.0, p2) - dest, axis=-1
-        ) < radius
-        alive2 = jnp.where(arrived, 0.0, alive)
-        p2 = jnp.where(alive2[:, None] == 1, p2, jnp.nan)
-        return (p2, v2, alive2), (p2, alive2)
+    @functools.partial(jax.jit, static_argnames=())
+    def run(p0, v0, ds, dest):
+        def step(carry, _):
+            p, v, alive = carry
+            v2 = mlapm_step(params, p, v, ds, dest, dt, radius)
+            p2 = p + v2 * dt
+            keep = alive[:, None] == 1
+            p2 = jnp.where(keep, p2, p)
+            v2 = jnp.where(keep, v2, v)
+            arrived = jnp.linalg.norm(
+                jnp.where(jnp.isnan(p2), 0.0, p2) - dest, axis=-1
+            ) < radius
+            alive2 = jnp.where(arrived, 0.0, alive)
+            p2 = jnp.where(alive2[:, None] == 1, p2, jnp.nan)
+            return (p2, v2, alive2), (p2, alive2)
 
-    init = (p0, v0, jnp.ones(n))
-    _, (ps, alive) = jax.lax.scan(step, init, None, length=num_frames)
+        init = (p0, v0, jnp.ones(n))
+        _, out = jax.lax.scan(step, init, None, length=num_frames)
+        return out
+
+    ps, alive = run(p0, v0, ds, -p0)
     return ps, alive
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "num_frames", "dt", "radius", "arrive_distance"),
+)
 def simulate_mlapm(
     params: MLAPMParams,
     schedule: SpawnSchedule,
@@ -66,8 +75,9 @@ def simulate_mlapm(
     Integration is the MLAPM convention ``v' = v + F·dt; p' = p + v'·dt``
     (main_mlapm.py:26), not the lagged NN-rollout Euler.
     """
+    from piml_tpu.engine.rollout import select_waypoint
+
     n_cap = schedule.position.shape[0]
-    agent_ids = jnp.arange(n_cap)
 
     def step(carry, t):
         p, v, dest_idx, active = carry
@@ -77,9 +87,10 @@ def simulate_mlapm(
         v = jnp.where(spawn_now[:, None], schedule.velocity, v)
         dest_idx = jnp.where(spawn_now, 0, dest_idx)
 
-        dest = schedule.waypoints[
-            jnp.clip(dest_idx, 0, schedule.waypoints.shape[0] - 1), agent_ids
-        ]
+        dest = select_waypoint(
+            schedule.waypoints,
+            jnp.clip(dest_idx, 0, schedule.waypoints.shape[0] - 1),
+        )
         v2 = mlapm_step(params, p, v, schedule.desired_speed[:, None], dest,
                         dt, radius)
         p2 = p + v2 * dt

@@ -22,6 +22,7 @@ classic Helbing model with the reference's config knobs:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -113,6 +114,9 @@ def social_force(
     return goal + rep_ped + rep_obs
 
 
+@functools.partial(
+    jax.jit, static_argnames=("params", "num_frames", "retire_fn", "advance_fn")
+)
 def simulate(
     params: SFParams,
     schedule: SpawnSchedule,
@@ -128,15 +132,20 @@ def simulate(
     leaving the scene (defaults to final-waypoint arrival);
     ``advance_fn(p, dest) -> (N,) bool`` triggers waypoint advance (defaults
     to ``|p−dest| < arrive_distance``).
+
+    Jitted with the schedule/obstacles as real arguments — closure-captured
+    device arrays become XLA constants pinned to slow memory on TPU.
     """
+    from piml_tpu.engine.rollout import select_waypoint
+
     n_cap = schedule.position.shape[0]
     dt = params.time_unit / params.oversampling
-    agent_ids = jnp.arange(n_cap)
 
     def current_dest(dest_idx):
-        return schedule.waypoints[
-            jnp.clip(dest_idx, 0, schedule.waypoints.shape[0] - 1), agent_ids
-        ]
+        return select_waypoint(
+            schedule.waypoints,
+            jnp.clip(dest_idx, 0, schedule.waypoints.shape[0] - 1),
+        )
 
     def step(state: GenState, t):
         # spawn slots whose frame has come

@@ -138,6 +138,9 @@ def mmd_masked(source: jax.Array, target: jax.Array, mask_s: jax.Array,
     n_samples = jnp.maximum(jnp.sum(mask), 2.0)
     bandwidth = jnp.sum(l2) / (n_samples ** 2 - n_samples)
     bandwidth = bandwidth / (kernel_mul ** (kernel_num // 2))
+    # degenerate identical clouds: the reference divides by a zero bandwidth
+    # (NaN); floor it so MMD(x, x) = 0 instead
+    bandwidth = jnp.maximum(bandwidth, 1e-12)
 
     kernels = jnp.zeros_like(l2)
     for i in range(kernel_num):

@@ -34,7 +34,13 @@ INF = jnp.inf
 
 
 class NeighborConfig(NamedTuple):
-    """Neighborhood hyper-parameters (reference CLI flags, src/main.py:52-57)."""
+    """Neighborhood hyper-parameters (reference CLI flags, src/main.py:52-57).
+
+    ``use_pallas_topk``: route the agent-agent selection through the Pallas
+    streaming kernel (piml_tpu.ops.pairwise) when the call is single-frame
+    (rank-2) and the agent count is large — XLA's fused top_k re-sorts the
+    whole (N, N) row per agent, which dominates the rollout step at GC scale.
+    """
 
     topk_ped: int = 6
     topk_obs: int = 10
@@ -42,6 +48,7 @@ class NeighborConfig(NamedTuple):
     sight_angle_obs: float = 90.0
     dist_threshold_ped: float = 4.0
     dist_threshold_obs: float = 4.0
+    use_pallas_topk: bool = False
 
 
 # ----------------------------------------------------------------------------
@@ -166,10 +173,11 @@ def nearby_in_sight(
         # pin the self-pair exactly: zero relative vector → dist 0, cosine 0
         # (the reference's zero-vector cosine, data.py:439-443) so the FOV
         # threshold alone decides self-inclusion, free of cancellation noise.
-        n = position.shape[-2]
-        eye = jnp.eye(n, dtype=bool)
-        dist = jnp.where(eye & ~invalid, 0.0, dist)
-        cos = jnp.where(eye & ~invalid, 0.0, cos)
+        n, m = position.shape[-2], objects.shape[-2]
+        diag = (jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (n, m), 1))
+        dist = jnp.where(diag & ~invalid, 0.0, dist)
+        cos = jnp.where(diag & ~invalid, 0.0, cos)
 
     dist = jnp.where(cos < math.cos(3.14 * angle_threshold / 180.0), INF, dist)
 
@@ -200,6 +208,23 @@ def gather_filtered(
 # relative features
 # ----------------------------------------------------------------------------
 
+def _pad_object_axis(x: jax.Array, minimum: int = 128):
+    """Pad the object (second-to-last) axis up to a lane-aligned multiple.
+
+    TPU layouts degrade pathologically when the lane dimension of the (N, M)
+    pair matrices is tiny (the reference's 2-point dummy obstacle table makes
+    every downstream op ~500× slower); NaN-padded rows are invalid (+inf
+    distance) and never selected ahead of real candidates.
+    Returns (padded, real_count).
+    """
+    m = x.shape[-2]
+    target = max(minimum, -(-m // minimum) * minimum)
+    if target == m:
+        return x, m
+    pad = jnp.full(x.shape[:-2] + (target - m, x.shape[-1]), jnp.nan, x.dtype)
+    return jnp.concatenate([x, pad], axis=-2), m
+
+
 def relative_features(
     position: jax.Array,
     velocity: jax.Array,
@@ -229,15 +254,26 @@ def relative_features(
 
     # Never materialize the (..., N, M, 6) relative tensor: select neighbor
     # indices first (O(N·M) matmul distances), then gather-and-subtract the
-    # (..., N, k, 6) selected rows only.
+    # (..., N, k, 6) selected rows only.  Object tables are lane-padded.
     state = jnp.concatenate([position, velocity, acceleration], axis=-1)  # ..., N, 6
+    state_pad, n_real = _pad_object_axis(state)
+    k_ped = min(cfg.topk_ped, n_real)
 
-    ped_dist, ped_idx = nearby_in_sight(
-        position, position, heading, cfg.topk_ped, cfg.sight_angle_ped,
-        same_objects=True,
-    )
+    if cfg.use_pallas_topk and position.ndim == 2:
+        from piml_tpu.ops.pairwise import topk_neighbors_pallas
+
+        ped_dist, ped_idx = topk_neighbors_pallas(
+            position, heading, k_ped, cfg.sight_angle_ped
+        )
+        # pallas indices address the un-padded table; both tables agree on
+        # the first n_real rows, so the shared gather below stays valid
+    else:
+        ped_dist, ped_idx = nearby_in_sight(
+            position, state_pad[..., :2], heading, k_ped, cfg.sight_angle_ped,
+            same_objects=True,
+        )
     gathered = jnp.take_along_axis(
-        state,
+        state_pad,
         ped_idx.reshape(ped_idx.shape[:-2] + (-1,))[..., None],
         axis=-2,
     ).reshape(ped_idx.shape + (state.shape[-1],))
@@ -248,14 +284,16 @@ def relative_features(
     dest_features = destination - position
     dest_features = jnp.where(jnp.isnan(dest_features), 0.0, dest_features)
 
+    obstacles_pad, m_real = _pad_object_axis(obstacles)
+    k_obs = min(cfg.topk_obs, m_real)
     obs = jnp.broadcast_to(
-        obstacles, position.shape[:-2] + obstacles.shape
-    )  # ..., M, 2
+        obstacles_pad, position.shape[:-2] + obstacles_pad.shape
+    )  # ..., M_pad, 2
     obs_dist, obs_idx = nearby_in_sight(
-        position, obs, heading, cfg.topk_obs, cfg.sight_angle_obs
+        position, obs, heading, k_obs, cfg.sight_angle_obs
     )
     zeros = jnp.zeros_like(obs)
-    obs_state = jnp.concatenate([obs, zeros, zeros], axis=-1)  # ..., M, 6
+    obs_state = jnp.concatenate([obs, zeros, zeros], axis=-1)  # ..., M_pad, 6
     gathered_o = jnp.take_along_axis(
         obs_state,
         obs_idx.reshape(obs_idx.shape[:-2] + (-1,))[..., None],

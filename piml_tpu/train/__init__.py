@@ -14,3 +14,5 @@ def __getattr__(name):
 
         return getattr(_trainer, name)
     raise AttributeError(name)
+
+from piml_tpu.train import checkpoint  # noqa: F401

@@ -1,0 +1,110 @@
+"""Experiment-layer tests: CLI pipeline smoke, grid expansion, config system,
+checkpoint/resume, checkify guards."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from piml_tpu.config import PIMLConfig
+from piml_tpu.exp.grid import task_queue, yaml_to_grid_params
+from piml_tpu.train import checkpoint
+from piml_tpu.utils.checks import assert_finite, checked
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = PIMLConfig(model="pinnsf_bm", learning_rate=1e-3, finetune_flag=True)
+    path = str(tmp_path / "cfg.json")
+    cfg.save(path)
+    cfg2 = PIMLConfig.load(path)
+    assert cfg2.model == "pinnsf_bm"
+    assert cfg2.learning_rate == 1e-3
+    assert cfg2.finetune_flag is True
+    assert cfg2.model_name_suffix == cfg.model_name_suffix
+
+
+def test_config_legacy_aliases():
+    cfg = PIMLConfig.from_dict({"f_batch_size": 7, "patience_finetune": 9,
+                                "model": "pinnsf"})
+    assert cfg.ft_batch_size == 7
+    assert cfg.ft_patience == 9
+
+
+def test_config_cli():
+    cfg = PIMLConfig.from_cli([
+        "--model", "pinnsf_bm", "--learning_rate", "0.01",
+        "--finetune_flag", "1", "--f_batch_size", "5",
+    ])
+    assert cfg.model == "pinnsf_bm"
+    assert cfg.learning_rate == 0.01
+    assert cfg.finetune_flag is True
+    assert cfg.ft_batch_size == 5
+
+
+def test_grid_expansion(tmp_path):
+    p = tmp_path / "grid.yaml"
+    p.write_text("exp_name: g\nlearning_rate:\n  - 0.1\n  - 0.2\n"
+                 "batch_size:\n  - 8\n  - 16\nmodel: pinnsf\n")
+    cmds = yaml_to_grid_params(str(p))
+    assert len(cmds) == 4  # cartesian product
+    assert all("--exp_name g" in c and "--model pinnsf" in c for c in cmds)
+    lrs = {c.split("--learning_rate ")[1].split(" ")[0] for c in cmds}
+    assert lrs == {"0.1", "0.2"}
+
+
+def test_task_queue_retry():
+    # first command fails twice then... always fails → 0; true → 1
+    assert task_queue(["false"], num_retries=2, interval=0.01) == 0
+    assert task_queue(["true"], num_retries=2, interval=0.01) == 1
+
+
+def test_checkpoint_resume(tmp_path):
+    params = {"w": jnp.arange(4.0)}
+    opt = {"m": jnp.zeros(4)}
+    d = str(tmp_path / "ckpt")
+    checkpoint.save_train_state(d, 3, params, opt, {"epoch": 3})
+    checkpoint.save_train_state(d, 7, params, opt, {"epoch": 7})
+    assert checkpoint.latest_step(d) == 7
+    template = {"params": params, "opt_state": opt, "extra": {"epoch": 0}}
+    restored = checkpoint.restore_train_state(d, template)
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                               [0, 1, 2, 3])
+    assert int(restored["extra"]["epoch"]) == 7
+
+
+def test_checkify_guards():
+    def f(x):
+        assert_finite(x, "x")
+        return x * 2
+
+    g = checked(f)
+    np.testing.assert_allclose(np.asarray(g(jnp.ones(3))), 2.0)
+    with pytest.raises(Exception):
+        g(jnp.array([1.0, jnp.nan]))
+
+
+@pytest.mark.slow
+def test_cli_pipeline_smoke(tmp_path, toy_paths):
+    """End-to-end `exp.main.run` on the toy dataset (tiny model, 1 epoch)."""
+    import yaml
+
+    from piml_tpu.exp.main import run
+    from piml_tpu.utils import MetricLogger
+
+    data_cfg = tmp_path / "data.yaml"
+    data_cfg.write_text(yaml.safe_dump({
+        "train": [toy_paths[0]], "valid": [toy_paths[1]],
+    }))
+    cfg = PIMLConfig(
+        data_config=str(data_cfg), model="pinnsf_m", epochs=1, batch_size=16,
+        skip_frames=5, dropout=0.0, encoder_hidden_size=16,
+        encoder_hidden_layers=2, processor_hidden_size=16,
+        processor_hidden_layers=2, decoder_hidden_size=8,
+        decoder_hidden_layers=2, save_dir=str(tmp_path / "ckpt"),
+    )
+    results = run(cfg, MetricLogger(stream=open(os.devnull, "w")))
+    assert np.isfinite(results["pretrain_val"])
+    assert os.path.exists(os.path.join(cfg.save_dir,
+                                       f"{cfg.exp_name}_{cfg.model_name_suffix}"))
