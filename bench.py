@@ -148,10 +148,13 @@ def bench_dense_stress():
     dest_num = jnp.ones(n, jnp.int32)
     out = run(params, state, spawns, wp, dest_num, obstacles, ds)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(params, state, spawns, wp, dest_num, obstacles, ds)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = run(params, state, spawns, wp, dest_num, obstacles, ds)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    dt = best
     return {
         "n_agents": n,
         "frames": STRESS_FRAMES,

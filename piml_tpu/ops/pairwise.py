@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -134,7 +134,8 @@ def _kernel(rows_ref, cols_ref, out_d_ref, out_i_ref, *, tile_m: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "angle_threshold", "same_objects", "tile_n", "tile_m"),
+    static_argnames=("k", "angle_threshold", "same_objects", "tile_n",
+                     "tile_m", "interpret"),
 )
 def topk_neighbors_pallas(
     position: jax.Array,
@@ -144,6 +145,7 @@ def topk_neighbors_pallas(
     same_objects: bool = True,
     tile_n: int = 256,
     tile_m: int = 2048,
+    interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k in-FOV neighbor (dist, idx) over one agent set.
 
@@ -153,19 +155,22 @@ def topk_neighbors_pallas(
     """
     rows, cols, n = pack_operands(position, heading)
     n_pad = rows.shape[0]
+    # n_pad is a multiple of 128; shrink tiles until they divide it exactly
     tile_n = min(tile_n, n_pad)
+    while n_pad % tile_n:
+        tile_n //= 2
     tile_m = min(tile_m, n_pad)
-    # column count must divide into tiles
-    if n_pad % tile_m != 0:
-        tile_m = math.gcd(n_pad, tile_m) if n_pad % tile_m else tile_m
-        while n_pad % tile_m:
-            tile_m //= 2
+    while n_pad % tile_m:
+        tile_m //= 2
     cos_thr = math.cos(3.14 * angle_threshold / 180.0)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     grid = (n_pad // tile_n,)
     out_d, out_i = pl.pallas_call(
         functools.partial(_kernel, tile_m=tile_m, cos_thr=cos_thr,
                           self_pairs=same_objects, k=k),
+        interpret=interpret,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, 8), lambda i: (i, 0),
