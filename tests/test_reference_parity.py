@@ -274,3 +274,84 @@ def test_metrics_parity(ref_modules):
     got_mmd = float(mmd_masked(jnp.asarray(x), jnp.asarray(y),
                                jnp.asarray(m), jnp.asarray(m)))
     assert abs(got_mmd - ref_mmd) < 2e-4
+
+
+def test_rollout_loop_parity(ref_modules, ref_raw, toy_path):
+    """The reference's get_multiple_rollouts Python loop vs our lax.scan
+    engine, driven by the same deterministic stub force model — trajectories
+    must match frame by frame (simulators.py:556-657)."""
+    import argparse
+
+    import torch
+
+    sys.path.insert(0, REF)
+    try:
+        import models.simulators as ref_sims
+    finally:
+        sys.path.remove(REF)
+
+    import jax.numpy as jnp
+
+    from piml_tpu.config import PIMLConfig
+    from piml_tpu.data import make_time_indexed
+    from piml_tpu.engine import engine_config
+    from piml_tpu.engine.simulator import eval_rollout
+    from piml_tpu.models import ModelOutput
+    from piml_tpu.scene import Scene
+
+    skip = 5
+    cfg = PIMLConfig(skip_frames=skip, num_history_velocity=1)
+
+    # --- reference side -----------------------------------------------------
+    args = argparse.Namespace(
+        topk_ped=cfg.topk_ped, sight_angle_ped=cfg.sight_angle_ped,
+        dist_threshold_ped=cfg.dist_threshold_ped, topk_obs=cfg.topk_obs,
+        sight_angle_obs=cfg.sight_angle_obs,
+        dist_threshold_obs=cfg.dist_threshold_obs,
+        num_history_velocity=1, skip_frames=skip, device="cpu",
+    )
+    ref_ds = ref_modules.TimeIndexedPedData()
+    ref_ds.make_dataset(args, ref_raw)
+    ref_ds.set_dataset_info(ref_ds, ref_raw, list(range(len(ref_ds))))
+
+    class StubModel:
+        """acc = 0.1·dest_vec − 0.2·v + 0.05·Σ rel_ped_pos — deterministic."""
+
+        def __call__(self, ped_f, obs_f, self_f):
+            acc = (0.1 * self_f[..., :2] - 0.2 * self_f[..., 2:4]
+                   + 0.05 * ped_f[..., :2].sum(dim=-2))
+            return [acc, ped_f]
+
+        def eval(self):
+            return self
+
+    sim = ref_sims.BaseSimulator.__new__(ref_sims.BaseSimulator)
+    sim.args = args
+    sim.model = StubModel()
+    sim.finetune_flag = False
+    with torch.no_grad():
+        ref_out = sim.get_multiple_rollouts(ref_ds, t_start=skip,
+                                            load_model=False)
+    ref_pos = ref_out.position.numpy()
+    ref_mask = ref_out.mask_p.numpy()
+
+    # --- our side ------------------------------------------------------------
+    scene = Scene.load(toy_path)
+    data = make_time_indexed(cfg, scene)
+
+    def apply_fn(params, ped_f, obs_f, self_f):
+        acc = (0.1 * self_f[..., :2] - 0.2 * self_f[..., 2:4]
+               + 0.05 * jnp.sum(ped_f[..., :2], axis=-2))
+        return ModelOutput(acc, ped_f)
+
+    ecfg = engine_config(cfg, retire=True, track_collisions=False,
+                         track_labels=False)
+    res = eval_rollout(None, apply_fn, ecfg, data, skip)
+
+    got_pos = np.asarray(res.position)
+    got_mask = np.asarray(res.mask_p)
+
+    np.testing.assert_array_equal(got_mask, ref_mask)
+    np.testing.assert_allclose(
+        np.nan_to_num(got_pos), np.nan_to_num(ref_pos), atol=5e-3
+    )
