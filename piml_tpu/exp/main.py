@@ -62,6 +62,7 @@ def run(cfg: PIMLConfig, logger: Optional[MetricLogger] = None) -> dict:
         real = FinetuneDataset(polar=polar)
         real.load_data(cfg.ft_data_config)
         cfg = real.build_dataset(cfg)
+        trainer.cfg = cfg  # real-data feature dims / time unit
         from piml_tpu.data import channel_batches
 
         rng = np.random.RandomState(cfg.seed)

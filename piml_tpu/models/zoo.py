@@ -403,16 +403,12 @@ class BaseSim(nn.Module):
 
         # ---- processors ---------------------------------------------------
         if self.fuse == "edge":
-            k = ped_emb.shape[-2]
+            # edge fusion widens the processor ×2 (base2/base5, model.py:272,471)
             self_b = jnp.broadcast_to(
                 self_emb[..., None, :], ped_emb.shape[:-1] + self_emb.shape[-1:]
             )
             joint = jnp.concatenate([ped_emb, self_b], axis=-1)
-            width = (
-                s.processor_hidden_size * 2
-                if self.dest_mode in {"raw", "split"} or self.spec.name == "base2"
-                else s.processor_hidden_size * 2
-            )
+            width = s.processor_hidden_size * 2
             proc_units = tuple((width,) for _ in range(s.processor_hidden_layers))
             joint = ResDNN(proc_units, act, s.dropout, s.resdnn_chain,
                            name="ped_processor")(joint, deterministic)
