@@ -233,6 +233,7 @@ class Trainer:
             params = self.init_params(train_data)
         opt_state = self.tx.init(params)
         state = TrainState(params, opt_state)
+        best_params = params
         step = self._pointwise_step_fn()
         validate = self._validate_pointwise_fn()
         np_rng = np.random.RandomState(cfg.seed)
@@ -277,12 +278,17 @@ class Trainer:
             if val_loss < state.best_val:
                 self.logger.info(f"model saved at epoch {epoch}")
                 save_params(checkpoint_path(cfg, self.finetune_flag), state.params)
+                best_params = state.params
                 state.best_val = val_loss
                 state.patience = 0
             else:
                 state.patience += 1
                 if state.patience > patience_limit:
                     break
+        # the reference evaluates the best-validation checkpoint, not the
+        # last epoch (load_model=True in test_multiple_rollouts,
+        # simulators.py:563-564)
+        state.params = best_params
         return state
 
     # ------------------------------------------------------------------
@@ -346,6 +352,7 @@ class Trainer:
         patience_limit = cfg.patience if cfg.compat_swapped_patience else cfg.ft_patience
         # epoch-0 checkpoint + baseline validation (simulators.py:298-304)
         save_params(checkpoint_path(cfg, True), state.params)
+        best_params = state.params
         state.best_val = validate()
 
         start = time.time()
@@ -380,6 +387,7 @@ class Trainer:
             if val_loss < state.best_val:
                 self.logger.info(f"model saved at epoch {epoch}")
                 save_params(checkpoint_path(cfg, True), state.params)
+                best_params = state.params
                 state.best_val = val_loss
                 state.patience = 0
             else:
@@ -387,6 +395,10 @@ class Trainer:
                 if state.patience > patience_limit:
                     break
 
+        # final evaluation uses the best-validation checkpoint
+        # (reference: finetune → test_multiple_rollouts with load_model=True,
+        # simulators.py:427,563-564)
+        state.params = best_params
         if test_data:
             m = evaluate_rollouts(state.params, apply_fn, cfg, test_data,
                                   test_flag=True)

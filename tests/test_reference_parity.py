@@ -355,3 +355,105 @@ def test_rollout_loop_parity(ref_modules, ref_raw, toy_path):
     np.testing.assert_allclose(
         np.nan_to_num(got_pos), np.nan_to_num(ref_pos), atol=5e-3
     )
+
+
+@pytest.mark.parametrize("coll_version", ["v0", "v2"])
+def test_training_rollout_loss_parity(ref_modules, ref_raw, toy_path,
+                                      coll_version):
+    """test_multiple_rollouts_for_training vs training_rollout_loss: same
+    stub model, same channeled windows → same loss decomposition and
+    collision counts, for both collision-loss versions
+    (simulators.py:659-832, v2 gated by the abnormal mask)."""
+    import argparse
+
+    import torch
+
+    sys.path.insert(0, REF)
+    try:
+        import models.simulators as ref_sims
+    finally:
+        sys.path.remove(REF)
+
+    import jax.numpy as jnp
+
+    from piml_tpu.config import PIMLConfig
+    from piml_tpu.data import make_time_indexed, to_channeled
+    from piml_tpu.engine import training_rollout_loss
+    from piml_tpu.models import ModelOutput
+    from piml_tpu.scene import Scene
+
+    skip = 5
+    stride = 6
+    batch_c = 3
+    cfg = PIMLConfig(
+        skip_frames=skip, num_history_velocity=1, valid_steps=stride,
+        time_decay=0.9, collision_loss_weight=7.0, collision_focus_weight=1.0,
+        hard_collision_penalty=2.0, collision_pred_weight=0.0,
+        teacher_weight=0.5, reg_weight=0.0, new_collision_loss_flag=False,
+        collision_loss_version=coll_version, collision_threshold=0.5,
+    )
+
+    # --- reference side -------------------------------------------------
+    args = argparse.Namespace(
+        topk_ped=cfg.topk_ped, sight_angle_ped=cfg.sight_angle_ped,
+        dist_threshold_ped=cfg.dist_threshold_ped, topk_obs=cfg.topk_obs,
+        sight_angle_obs=cfg.sight_angle_obs,
+        dist_threshold_obs=cfg.dist_threshold_obs,
+        num_history_velocity=1, skip_frames=skip, device="cpu",
+        collision_threshold=0.5, collision_pred_weight=0.0,
+        reg_weight=0.0, collision_loss_weight=7.0, collision_focus_weight=1.0,
+        hard_collision_penalty=2.0, teacher_weight=0.5, time_decay=0.9,
+        new_collision_loss_flag=0, collision_loss_version=coll_version, model="pinnsf",
+    )
+    ref_ds = ref_modules.TimeIndexedPedData()
+    ref_ds.make_dataset(args, ref_raw)
+    ref_ds.set_dataset_info(ref_ds, ref_raw, list(range(len(ref_ds))))
+    ref_ch = ref_ds.to_channeled_time_index_data(stride, "slice")
+    ref_batch = ref_modules.ChanneledTimeIndexedPedData.slice(
+        ref_ch, list(range(skip, skip + batch_c))
+    )
+
+    class StubModel:
+        def __call__(self, ped_f, obs_f, self_f):
+            acc = (0.1 * self_f[..., :2] - 0.2 * self_f[..., 2:4]
+                   + 0.05 * ped_f[..., :2].sum(dim=-2))
+            return [acc, ped_f]
+
+        def train(self):
+            return self
+
+    sim = ref_sims.BaseSimulator.__new__(ref_sims.BaseSimulator)
+    sim.args = args
+    sim.model = StubModel()
+    sim.finetune_flag = True
+    sim.epoch = 0
+    sim.batch_idx = 0
+    sim.collision_count = 0
+    sim.hard_collision_count = 0
+    (ref_loss, ref_mse, ref_coll_loss, ref_hard_loss, _, _,
+     _) = sim.test_multiple_rollouts_for_training(ref_batch)
+
+    # --- our side ---------------------------------------------------------
+    scene = Scene.load(toy_path)
+    data = make_time_indexed(cfg, scene)
+    ours = to_channeled(data, stride, "slice").slice_channels(
+        np.arange(skip, skip + batch_c)
+    )
+
+    def apply_fn(params, ped_f, obs_f, self_f):
+        acc = (0.1 * self_f[..., :2] - 0.2 * self_f[..., 2:4]
+               + 0.05 * jnp.sum(ped_f[..., :2], axis=-2))
+        return ModelOutput(acc, ped_f)
+
+    out = training_rollout_loss(None, apply_fn, cfg, ours)
+
+    assert float(out.mse_loss) == pytest.approx(float(ref_mse), rel=1e-3,
+                                                abs=1e-4)
+    assert float(out.collision_loss) == pytest.approx(
+        float(ref_coll_loss), rel=1e-3, abs=1e-4)
+    assert float(out.hard_collision_loss) == pytest.approx(
+        float(ref_hard_loss), rel=1e-3, abs=1e-4)
+    assert float(out.loss) == pytest.approx(float(ref_loss), rel=1e-3,
+                                            abs=1e-3)
+    assert float(out.collision_count) == sim.collision_count
+    assert float(out.hard_collision_count) == sim.hard_collision_count

@@ -26,14 +26,18 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     t_all = time.time()
     logger = MetricLogger(jsonl_path=os.path.join(ROOT, "gc_experiment.jsonl"))
+    # Paper hyper-parameters (reference: exp_configs/piml-gcdata.yaml)
     cfg = PIMLConfig(
         exp_name="piml-gc", model="pinnsf_bm", dataset_name="gc2344",
         data_config=os.path.join(ROOT, "configs/data_configs/gc.yaml"),
         ft_data_config=os.path.join(ROOT, "configs/data_configs/gc_finetune.yaml"),
-        epochs=40, patience=8, ft_patience=8, batch_size=128, ft_batch_size=4,
-        learning_rate=2e-3, valid_steps=10, skip_frames=25,
-        collision_pred_weight=10.0, collision_loss_weight=10.0,
-        hard_collision_penalty=10.0, val_coll_weight=30.0,
+        epochs=60, patience=20, ft_patience=5, batch_size=128, ft_batch_size=32,
+        learning_rate=2e-4, weight_decay=1e-6, finetune_lr_decay=0.02,
+        valid_steps=10, skip_frames=25,
+        collision_pred_weight=5e-2, collision_loss_weight=200.0,
+        collision_focus_weight=1.0, hard_collision_penalty=2.0,
+        val_coll_weight=30.0, time_decay=0.9, reg_weight=1e-2,
+        collision_loss_version="v2",
         dropout=0.5, shuffle=True,
         save_dir=os.path.join(ROOT, "saved_model"),
         compat_swapped_patience=False,  # use the sane patience mapping
@@ -67,7 +71,7 @@ def main():
     batches = channel_batches(real.train_data, cfg.ft_batch_size, rng,
                               shuffle=True)
     logger.info(f"finetune batches: {len(batches)}")
-    cfg = cfg.replace(epochs=10)
+    cfg = cfg.replace(epochs=20)
     trainer.cfg = cfg
     t0 = time.time()
     ft_state = trainer.finetune(batches, real.valid_data, None,
