@@ -457,3 +457,36 @@ def test_training_rollout_loss_parity(ref_modules, ref_raw, toy_path,
                                             abs=1e-3)
     assert float(out.collision_count) == sim.collision_count
     assert float(out.hard_collision_count) == sim.hard_collision_count
+
+
+def test_augmentation_parity(ref_modules, ref_raw, toy_path):
+    """Rotation/mirror augmentation vs src/utils/data_augmentation.py."""
+    sys.path.insert(0, REF)
+    try:
+        import utils.data_augmentation as ref_aug
+    finally:
+        sys.path.remove(REF)
+
+    from piml_tpu.scene import Scene, mirror, rotate
+
+    scene = Scene.load(toy_path)
+    for theta in (37.0, 120.0):
+        ref_rot = ref_aug.rotate_augmentation(ref_raw, theta)
+        got = rotate(scene, theta)
+        np.testing.assert_allclose(
+            np.nan_to_num(np.asarray(got.position)),
+            np.nan_to_num(ref_rot.position.numpy()), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.obstacles), ref_rot.obstacles.numpy(), atol=1e-2
+        )
+    for theta in (0.0, 90.0, 45.0):
+        ref_mir = ref_aug.mirror_augmentation(ref_raw, theta)
+        got = mirror(scene, theta)
+        np.testing.assert_allclose(
+            np.nan_to_num(np.asarray(got.position)),
+            np.nan_to_num(ref_mir.position.numpy()), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.velocity), ref_mir.velocity.numpy(), atol=1e-3
+        )
