@@ -490,3 +490,59 @@ def test_augmentation_parity(ref_modules, ref_raw, toy_path):
         np.testing.assert_allclose(
             np.asarray(got.velocity), ref_mir.velocity.numpy(), atol=1e-3
         )
+
+
+def test_channeled_split_parity(ref_modules, ref_raw, toy_path):
+    """'split' windowing vs ChanneledTimeIndexedPedData.transform
+    (data.py:1085-1088)."""
+    import argparse
+
+    from piml_tpu.config import PIMLConfig
+    from piml_tpu.data import make_time_indexed, to_channeled
+    from piml_tpu.scene import Scene
+
+    cfg = PIMLConfig(skip_frames=5, num_history_velocity=1)
+    args = argparse.Namespace(
+        topk_ped=cfg.topk_ped, sight_angle_ped=cfg.sight_angle_ped,
+        dist_threshold_ped=cfg.dist_threshold_ped, topk_obs=cfg.topk_obs,
+        sight_angle_obs=cfg.sight_angle_obs,
+        dist_threshold_obs=cfg.dist_threshold_obs,
+        num_history_velocity=1, skip_frames=5, device="cpu",
+    )
+    ref_ds = ref_modules.TimeIndexedPedData()
+    ref_ds.make_dataset(args, ref_raw)
+    ref_ds.set_dataset_info(ref_ds, ref_raw, list(range(len(ref_ds))))
+
+    scene = Scene.load(toy_path)
+    ours_ti = make_time_indexed(cfg, scene)
+
+    for stride, mode in [(7, "split"), (6, "slice")]:
+        ref_ch = ref_ds.to_channeled_time_index_data(stride, mode)
+        ours = to_channeled(ours_ti, stride, mode)
+        assert ours.position.shape == tuple(ref_ch.position.shape)
+        np.testing.assert_allclose(
+            np.nan_to_num(np.asarray(ours.position)),
+            np.nan_to_num(ref_ch.position.numpy()), atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ours.mask_p_pred), ref_ch.mask_p_pred.numpy()
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ours.dest_idx), ref_ch.dest_idx.numpy()
+        )
+
+
+def test_heading_direction_4d(ref_modules):
+    """4-D (c, t, N, 2) heading fill vs the reference loop (data.py:376-389)."""
+    import torch
+
+    from piml_tpu.physics import heading_direction
+
+    rng = np.random.RandomState(8)
+    vel = rng.randn(2, 6, 3, 2).astype(np.float32)
+    vel[rng.rand(2, 6, 3) < 0.5] = 0.0
+    ref = ref_modules.Pedestrians.get_heading_direction(
+        torch.tensor(vel)
+    ).numpy()
+    got = np.asarray(heading_direction(vel))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
