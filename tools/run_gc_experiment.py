@@ -24,14 +24,20 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_config", default="configs/data_configs/gc.yaml")
+    ap.add_argument("--epochs", type=int, default=60)
+    cli = ap.parse_args()
     t_all = time.time()
     logger = MetricLogger(jsonl_path=os.path.join(ROOT, "gc_experiment.jsonl"))
     # Paper hyper-parameters (reference: exp_configs/piml-gcdata.yaml)
     cfg = PIMLConfig(
         exp_name="piml-gc", model="pinnsf_bm", dataset_name="gc2344",
-        data_config=os.path.join(ROOT, "configs/data_configs/gc.yaml"),
+        data_config=os.path.join(ROOT, cli.data_config),
         ft_data_config=os.path.join(ROOT, "configs/data_configs/gc_finetune.yaml"),
-        epochs=60, patience=20, ft_patience=5, batch_size=128, ft_batch_size=32,
+        epochs=cli.epochs, patience=20, ft_patience=5, batch_size=128, ft_batch_size=32,
         learning_rate=2e-4, weight_decay=1e-6, finetune_lr_decay=0.02,
         valid_steps=10, skip_frames=25,
         collision_pred_weight=5e-2, collision_loss_weight=200.0,
