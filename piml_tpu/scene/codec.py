@@ -177,11 +177,27 @@ def encode(path: str, meta_data: dict, position: np.ndarray, mask_p: np.ndarray,
     T, N, _ = position.shape
 
     trajectories: List[List[Tuple[float, float, int]]] = []
-    for n in range(N):
-        frames = np.nonzero(mask_p[:, n] == 1)[0]
-        trajectories.append(
-            [(float(position[f, n, 0]), float(position[f, n, 1]), int(f)) for f in frames]
-        )
+    native_pts = None
+    try:
+        from piml_tpu import native as _native
+
+        native_pts = _native.sparsify(position, mask_p)
+    except Exception:
+        native_pts = None
+    if native_pts is not None:
+        points, offsets = native_pts
+        for n in range(N):
+            rows = points[offsets[n]: offsets[n + 1]]
+            trajectories.append(
+                [(float(x), float(y), int(t)) for x, y, t in rows]
+            )
+    else:
+        for n in range(N):
+            frames = np.nonzero(mask_p[:, n] == 1)[0]
+            trajectories.append(
+                [(float(position[f, n, 0]), float(position[f, n, 1]), int(f))
+                 for f in frames]
+            )
 
     destinations: List[List[Tuple[float, float, int]]] = []
     frame_id = np.arange(T)
