@@ -33,4 +33,21 @@ Re-designed from scratch with the capabilities of tsinghua-fib-lab/PIML
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: first compiles through the TPU tunnel run
+# 10-500 s; cached reloads are instant.  Opt out with PIML_NO_COMPILE_CACHE=1.
+if not _os.environ.get("PIML_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("PIML_COMPILE_CACHE", "/tmp/piml_jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from piml_tpu.config import PIMLConfig  # noqa: F401
