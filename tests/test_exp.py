@@ -108,3 +108,35 @@ def test_cli_pipeline_smoke(tmp_path, toy_paths):
     assert np.isfinite(results["pretrain_val"])
     assert os.path.exists(os.path.join(cfg.save_dir,
                                        f"{cfg.exp_name}_{cfg.model_name_suffix}"))
+
+
+@pytest.mark.slow
+def test_piml_iteration_driver(tmp_path, toy_paths):
+    """One turn of the closed PIML loop: train → extract → fit (exp/iterate)."""
+    import yaml
+
+    from piml_tpu.data import PointwiseDataset
+    from piml_tpu.exp.iterate import run_iteration
+    from piml_tpu.utils import MetricLogger
+
+    data_cfg = tmp_path / "data.yaml"
+    data_cfg.write_text(yaml.safe_dump({
+        "train": [toy_paths[0]], "valid": [toy_paths[1]],
+    }))
+    cfg = PIMLConfig(
+        model="pinnsf_bm", epochs=1, batch_size=16, skip_frames=5,
+        dropout=0.0, encoder_hidden_size=16, encoder_hidden_layers=2,
+        processor_hidden_size=16, processor_hidden_layers=2,
+        decoder_hidden_size=8, decoder_hidden_layers=2,
+        save_dir=str(tmp_path / "ckpt"), collision_pred_weight=0.0,
+    )
+    ds = PointwiseDataset()
+    ds.load_data(str(data_cfg))
+    cfg = ds.build_dataset(cfg)
+    result, params = run_iteration(
+        cfg, ds, MetricLogger(stream=open(os.devnull, "w"))
+    )
+    assert np.isfinite(result.val_loss)
+    assert np.isfinite(result.fit_A) and result.fit_A > 0
+    mp = result.mlapm_params()
+    assert mp.A == result.fit_A
