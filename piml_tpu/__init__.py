@@ -36,14 +36,21 @@ __version__ = "0.1.0"
 import os as _os
 
 # Persistent XLA compilation cache: first compiles through the TPU tunnel run
-# 10-500 s; cached reloads are instant.  Opt out with PIML_NO_COMPILE_CACHE=1.
-if not _os.environ.get("PIML_NO_COMPILE_CACHE"):
+# 10-500 s; cached reloads are instant.  Enabled by default only for TPU-like
+# platforms (CPU AOT entries are machine-feature-sensitive and can SIGILL when
+# reloaded on a different host).  Opt out with PIML_NO_COMPILE_CACHE=1 or
+# force a dir with PIML_COMPILE_CACHE.
+_platform = _os.environ.get("JAX_PLATFORMS", "")
+if not _os.environ.get("PIML_NO_COMPILE_CACHE") and (
+    _os.environ.get("PIML_COMPILE_CACHE")
+    or any(p in _platform for p in ("tpu", "axon"))
+):
     try:
         import jax as _jax
 
         _jax.config.update(
             "jax_compilation_cache_dir",
-            _os.environ.get("PIML_COMPILE_CACHE", "/tmp/piml_jax_cache"),
+            _os.environ.get("PIML_COMPILE_CACHE", "/tmp/piml_jax_cache_tpu"),
         )
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

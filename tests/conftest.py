@@ -13,9 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 # The axon plugin overrides JAX_PLATFORMS at import; force CPU
-# programmatically so the 8-device virtual mesh is available.
+# programmatically so the 8-device virtual mesh is available.  The CPU test
+# cache is kept separate from the TPU cache (CPU AOT entries are
+# machine-feature-sensitive).
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/piml_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/piml_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
