@@ -31,16 +31,30 @@ Re-designed from scratch with the capabilities of tsinghua-fib-lab/PIML
                  (reference: src/main.py, src/run_experiments.py).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
+
+# PIML_PLATFORM=cpu|tpu|axon forces the JAX platform.  Needed because the
+# ambient axon plugin re-sets jax_platforms at interpreter start, so the
+# plain JAX_PLATFORMS env var cannot select CPU for CLI runs.
+if _os.environ.get("PIML_PLATFORM"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["PIML_PLATFORM"])
+    except Exception:
+        pass
 
 # Persistent XLA compilation cache: first compiles through the TPU tunnel run
 # 10-500 s; cached reloads are instant.  Enabled by default only for TPU-like
 # platforms (CPU AOT entries are machine-feature-sensitive and can SIGILL when
 # reloaded on a different host).  Opt out with PIML_NO_COMPILE_CACHE=1 or
 # force a dir with PIML_COMPILE_CACHE.
-_platform = _os.environ.get("JAX_PLATFORMS", "")
+# Effective platform: PIML_PLATFORM wins (it overrides the plugin above), so
+# a CPU-forced run must not touch the TPU cache (CPU AOT entries are
+# machine-feature-sensitive and can SIGILL when reloaded elsewhere).
+_platform = _os.environ.get("PIML_PLATFORM") or _os.environ.get("JAX_PLATFORMS", "")
 if not _os.environ.get("PIML_NO_COMPILE_CACHE") and (
     _os.environ.get("PIML_COMPILE_CACHE")
     or any(p in _platform for p in ("tpu", "axon"))
@@ -48,9 +62,20 @@ if not _os.environ.get("PIML_NO_COMPILE_CACHE") and (
     try:
         import jax as _jax
 
+        # Key the cache dir by the client libtpu version: a rolling libtpu
+        # upgrade otherwise serves stale AOT executables that the terminal
+        # rejects with FAILED_PRECONDITION (seen in round 1's multichip run).
+        try:
+            from importlib.metadata import version as _pkg_version
+
+            _libtpu = "libtpu" + _pkg_version("libtpu").replace(".", "_")
+        except Exception:
+            _libtpu = "libtpu_unknown"
         _jax.config.update(
             "jax_compilation_cache_dir",
-            _os.environ.get("PIML_COMPILE_CACHE", "/tmp/piml_jax_cache_tpu"),
+            _os.environ.get(
+                "PIML_COMPILE_CACHE", f"/tmp/piml_jax_cache_tpu_{_libtpu}"
+            ),
         )
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -51,6 +51,12 @@ class PIMLConfig:
     test_ratio: float = 0.2
     add_noise_flag: bool = False
     add_noise_std: float = 0.05
+    # rotate/mirror augmentation, comma-separated angles in radians applied to
+    # the splits named in augment_splits (reference: src/data/dataset.py:55-72,
+    # src/utils/data_augmentation.py — present but never CLI-wired there)
+    augment_thetas: str = ""
+    augment_mirrors: str = ""
+    augment_splits: str = "train"
     time_unit: float = 0.08            # overwritten from dataset metadata
 
     # ----- neighborhood / features (src/main.py:52-57) -----

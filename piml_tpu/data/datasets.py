@@ -33,10 +33,11 @@ from piml_tpu.data.views import (
     TimeIndexedData,
     make_time_indexed,
     merge_pointwise,
+    slice_frames,
     to_channeled,
     to_pointwise,
 )
-from piml_tpu.scene import Scene, mirror, rotate
+from piml_tpu.scene import Scene, mirror, random_walk_noise, rotate
 
 
 def load_scenes(data_config_path: str) -> Dict[str, List[Scene]]:
@@ -70,6 +71,64 @@ def augment_scenes(scenes: List[Scene], thetas: Optional[Sequence[float]] = None
     return out
 
 
+def _parse_floats(s: str) -> List[float]:
+    return [float(x) for x in s.split(",") if x.strip()] if s else []
+
+
+def apply_config_augmentation(raw: Dict[str, List[Scene]],
+                              cfg: PIMLConfig) -> Dict[str, List[Scene]]:
+    """Apply the config's rotate/mirror augmentation to the named splits
+    (reference: BaseDataset.data_augmentation, dataset.py:68-73)."""
+    thetas = _parse_floats(cfg.augment_thetas)
+    mirrors = _parse_floats(cfg.augment_mirrors)
+    if not thetas and not mirrors:
+        return raw
+    out = dict(raw)
+    for split in (s.strip() for s in cfg.augment_splits.split(",")):
+        if split in out:
+            out[split] = augment_scenes(out[split], thetas, mirrors)
+    return out
+
+
+def perturb_velocity(scene: Scene, std: float, seed: int) -> Scene:
+    """Random-walk velocity perturbation for noise-robust training
+    (reference: dataset.py:222-228 + src/functions/noises.py:9-19).
+
+    The reference adds the noise to the raw velocities and rebuilds the whole
+    dataset from them, so features and labels both see the perturbation."""
+    import jax
+
+    noise = random_walk_noise(
+        jax.random.PRNGKey(seed), scene.velocity, scene.mask_v, std
+    )
+    return scene.replace(velocity=scene.velocity + noise)
+
+
+def _maybe_noisy(scene: Scene, cfg: PIMLConfig, idx: int) -> Scene:
+    if not cfg.add_noise_flag:
+        return scene
+    return perturb_velocity(scene, cfg.add_noise_std, cfg.seed + idx)
+
+
+def split_train_val_test(n: int, train_ratio: float, val_ratio: float,
+                         test_ratio: float, seed: int, shuffle: bool = False):
+    """Frame-index ratio split (reference: dataset.py:75-95).
+
+    Faithful to the reference, including its quirky ``shuffle`` branch that
+    permutes only the first ``int(n * val_ratio)`` indices; the test block is
+    always the contiguous tail."""
+    if abs(train_ratio + val_ratio + test_ratio - 1.0) > 1e-9:
+        raise ValueError("illegal train valid test split!")
+    idx_all = np.arange(n)
+    if shuffle:
+        rnd = np.random.RandomState(seed)
+        head = int(n * val_ratio)
+        idx_all[:head] = rnd.permutation(head)
+    n_train = int(n * train_ratio)
+    n_val = int(n * (train_ratio + val_ratio))
+    return idx_all[:n_train], idx_all[n_train:n_val], idx_all[n_val:]
+
+
 def _check_time_unit(scenes: Dict[str, List[Scene]]) -> float:
     units = {s.time_unit for split in scenes.values() for s in split}
     assert len(units) == 1, f"inconsistent time units: {units}"
@@ -96,17 +155,24 @@ class PointwiseDataset:
 
     def build_dataset(self, cfg: PIMLConfig) -> PIMLConfig:
         assert self.raw, "must load raw data before build_dataset"
-        cfg = cfg.replace(time_unit=_check_time_unit(self.raw))
+        raw = apply_config_augmentation(self.raw, cfg)
+        cfg = cfg.replace(time_unit=_check_time_unit(raw))
         dataset: Dict[str, list] = defaultdict(list)
         ti_sample = None
-        for split, scenes in self.raw.items():
-            for scene in scenes:
-                ti = make_time_indexed(cfg, scene, polar=self.polar)
-                ti_sample = ti
+        for split, scenes in raw.items():
+            for i, scene in enumerate(scenes):
                 if split in {"train", "valid"}:
+                    # add_noise rebuilds features/labels from perturbed
+                    # velocities for train+valid, test stays clean
+                    # (reference: dataset.py:222-243)
+                    ti = make_time_indexed(
+                        cfg, _maybe_noisy(scene, cfg, i), polar=self.polar
+                    )
                     dataset[split].append(to_pointwise(ti))
                 else:
+                    ti = make_time_indexed(cfg, scene, polar=self.polar)
                     dataset[split].append(ti)
+                ti_sample = ti
         self.train_data = merge_pointwise(dataset["train"])
         self.valid_data = merge_pointwise(dataset["valid"])
         self.test_data = dataset.get("test", [])
@@ -128,9 +194,10 @@ class FinetuneDataset:
 
     def build_dataset(self, cfg: PIMLConfig) -> PIMLConfig:
         assert self.raw, "must load raw data before build_dataset"
-        cfg = cfg.replace(time_unit=_check_time_unit(self.raw))
+        raw = apply_config_augmentation(self.raw, cfg)
+        cfg = cfg.replace(time_unit=_check_time_unit(raw))
         ti_sample = None
-        for split, scenes in self.raw.items():
+        for split, scenes in raw.items():
             for scene in scenes:
                 ti = make_time_indexed(cfg, scene, polar=self.polar)
                 ti_sample = ti
@@ -142,6 +209,105 @@ class FinetuneDataset:
                     self.valid_data.append(ti)
                 else:
                     self.test_data.append(ti)
+        return _publish_dims(cfg, ti_sample)
+
+
+class RatioSplitDataset:
+    """Single-scene train/val/test by frame-index ratio (reference:
+    ``PointwisePedDataset.old_build_dataset`` dataset.py:208-255 +
+    ``split_train_val_test`` dataset.py:75-95).
+
+    The scene's frames are ratio-split; train/valid become pointwise rows
+    drawn from the (optionally noise-perturbed, dataset.py:222-228) dataset,
+    test is the clean contiguous tail as a time-indexed view."""
+
+    def __init__(self, polar: bool = False):
+        self.polar = polar
+        self.scene: Optional[Scene] = None
+        self.train_data: Optional[PointwiseData] = None
+        self.valid_data: Optional[PointwiseData] = None
+        self.test_data: List[TimeIndexedData] = []
+
+    def load_data(self, path_or_config: str) -> None:
+        if path_or_config.endswith(".npy"):
+            self.scene = Scene.load(path_or_config)
+        else:
+            raw = load_scenes(path_or_config)
+            scenes = [s for split in raw.values() for s in split]
+            assert len(scenes) == 1, (
+                "RatioSplitDataset splits a single scene by ratio; got "
+                f"{len(scenes)} scenes"
+            )
+            self.scene = scenes[0]
+
+    def build_dataset(self, cfg: PIMLConfig) -> PIMLConfig:
+        assert self.scene is not None, "must load raw data before build_dataset"
+        cfg = cfg.replace(time_unit=self.scene.time_unit)
+        clean = make_time_indexed(cfg, self.scene, polar=self.polar)
+        noisy = clean
+        if cfg.add_noise_flag:
+            noisy = make_time_indexed(
+                cfg, perturb_velocity(self.scene, cfg.add_noise_std, cfg.seed),
+                polar=self.polar,
+            )
+        train_idx, valid_idx, test_idx = split_train_val_test(
+            clean.num_frames, cfg.train_ratio, cfg.val_ratio, cfg.test_ratio,
+            cfg.seed, shuffle=cfg.shuffle,
+        )
+        self.train_data = to_pointwise(noisy, frames=train_idx)
+        self.valid_data = to_pointwise(noisy, frames=valid_idx)
+        self.test_data = (
+            [slice_frames(clean, int(test_idx[0]), int(test_idx[-1]) + 1)]
+            if len(test_idx) else []
+        )
+        return _publish_dims(cfg, clean)
+
+
+class OnlyTrainingDataset:
+    """Train-only orchestration (reference: ``PointwisePedDatasetOnlyTraining``
+    dataset.py:256-310): train pointwise; valid channeled-'split' windows when
+    finetuning, else pointwise; test time-indexed.
+
+    The reference's ``pointwise_set.union({'valid'})`` is a no-op (the result
+    is discarded, dataset.py:275-277) yet it still merges valid as pointwise
+    at dataset.py:289 — we implement the evident intent."""
+
+    def __init__(self, polar: bool = False):
+        self.polar = polar
+        self.raw: Dict[str, List[Scene]] = {}
+        self.train_data: Optional[PointwiseData] = None
+        self.valid_data = None  # PointwiseData | List[ChanneledData]
+        self.test_data: List[TimeIndexedData] = []
+
+    def load_data(self, data_config_path: str) -> None:
+        self.raw = load_scenes(data_config_path)
+
+    def build_dataset(self, cfg: PIMLConfig) -> PIMLConfig:
+        assert self.raw, "must load raw data before build_dataset"
+        raw = apply_config_augmentation(self.raw, cfg)
+        cfg = cfg.replace(time_unit=_check_time_unit(raw))
+        ti_sample = None
+        train, valid, test = [], [], []
+        for split, scenes in raw.items():
+            for i, scene in enumerate(scenes):
+                if split == "train":
+                    ti = make_time_indexed(
+                        cfg, _maybe_noisy(scene, cfg, i), polar=self.polar
+                    )
+                    train.append(to_pointwise(ti))
+                elif split == "valid":
+                    ti = make_time_indexed(cfg, scene, polar=self.polar)
+                    if cfg.finetune_flag:
+                        valid.append(to_channeled(ti, cfg.valid_steps, "split"))
+                    else:
+                        valid.append(to_pointwise(ti))
+                else:
+                    ti = make_time_indexed(cfg, scene, polar=self.polar)
+                    test.append(ti)
+                ti_sample = ti
+        self.train_data = merge_pointwise(train)
+        self.valid_data = valid if cfg.finetune_flag else merge_pointwise(valid)
+        self.test_data = test
         return _publish_dims(cfg, ti_sample)
 
 

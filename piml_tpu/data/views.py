@@ -208,10 +208,32 @@ class PointwiseData:
         return float(self.meta_data["time_unit"])
 
 
-def to_pointwise(data: TimeIndexedData) -> PointwiseData:
+def slice_frames(data: TimeIndexedData, start: int, stop: int) -> TimeIndexedData:
+    """Contiguous frame-range view of a time-indexed dataset (reference:
+    ``TimeIndexedPedData(*self.dataset[test_idx])``, dataset.py:248)."""
+    t_keyed = {
+        "ped_features", "obs_features", "self_features", "labels",
+        "mask_p", "mask_v", "mask_a",
+        "mask_p_pred", "mask_v_pred", "mask_a_pred",
+        "position", "velocity", "acceleration", "destination", "dest_idx",
+    }
+    return data.replace(**{k: getattr(data, k)[start:stop] for k in t_keyed})
+
+
+def to_pointwise(data: TimeIndexedData,
+                 frames: Optional[np.ndarray] = None) -> PointwiseData:
     """Filter predictable rows and shift labels one step forward
-    (reference: data.py:1007-1038; filtering runs host-side)."""
-    mask = np.asarray(data.mask_a_pred).reshape(-1) > 0
+    (reference: data.py:1007-1038; filtering runs host-side).
+
+    ``frames`` restricts the rows to a subset of frame indices (the
+    reference's ``load_from_time_indexed_peddata(dataset, idx)`` path,
+    data.py:1007, used by the ratio-split orchestrator)."""
+    mask_t = np.asarray(data.mask_a_pred) > 0
+    if frames is not None:
+        keep = np.zeros(mask_t.shape[0], bool)
+        keep[np.asarray(frames, int)] = True
+        mask_t = mask_t & keep[:, None]
+    mask = mask_t.reshape(-1)
     labels = np.asarray(data.labels)
     labels = np.concatenate([labels[1:], np.zeros_like(labels[:1])], axis=0)
     flat = lambda x: np.asarray(x).reshape((-1,) + x.shape[2:])

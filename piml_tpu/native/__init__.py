@@ -46,7 +46,8 @@ def load_library() -> Optional[ctypes.CDLL]:
     ]
     lib.piml_sparsify.restype = ctypes.c_int64
     lib.piml_sparsify.argtypes = [
-        f32p, f32p, ctypes.c_int64, ctypes.c_int64, f64p, i64p,
+        f32p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        f64p, i64p,
     ]
     lib.piml_shuffled_indices.restype = None
     lib.piml_shuffled_indices.argtypes = [ctypes.c_int64, ctypes.c_uint64, i64p]
@@ -95,13 +96,19 @@ def sparsify(position: np.ndarray, mask_p: np.ndarray):
     position = np.ascontiguousarray(position, np.float32)
     mask_p = np.ascontiguousarray(mask_p, np.float32)
     T, N = mask_p.shape
-    total = int(mask_p.sum())
+    # Sized by the exact predicate the C++ side uses (>0), not a float sum
+    # which can lose precision at large T*N; capacity is also bound-checked
+    # inside piml_sparsify.
+    total = int(np.count_nonzero(mask_p > 0))
     points = np.empty((total, 3), np.float64)
     offsets = np.empty(N + 1, np.int64)
-    lib.piml_sparsify(
+    written = lib.piml_sparsify(
         _ptr(position, ctypes.c_float), _ptr(mask_p, ctypes.c_float),
-        T, N, _ptr(points, ctypes.c_double), _ptr(offsets, ctypes.c_int64),
+        T, N, total,
+        _ptr(points, ctypes.c_double), _ptr(offsets, ctypes.c_int64),
     )
+    if written < 0:
+        raise RuntimeError("native sparsify overflowed its output capacity")
     return points, offsets
 
 

@@ -95,10 +95,11 @@ int piml_densify(
 }
 
 // Inverse: dense → flat (x, y, t) rows per pedestrian.  Caller provides
-// points sized (sum mask_p, 3) and offsets (N+1); returns total rows.
+// points sized (capacity, 3) and offsets (N+1); returns total rows written,
+// or -1 if the mask selects more rows than capacity (no write past the end).
 int64_t piml_sparsify(
     const float* position, const float* mask_p,
-    int64_t num_steps, int64_t num_peds,
+    int64_t num_steps, int64_t num_peds, int64_t capacity,
     double* points, int64_t* offsets)
 {
     int64_t k = 0;
@@ -107,6 +108,7 @@ int64_t piml_sparsify(
         for (int64_t t = 0; t < num_steps; ++t) {
             const int64_t idx = t * num_peds + n;
             if (mask_p[idx] > 0.f) {
+                if (k >= capacity) return -1;
                 points[3 * k] = position[2 * idx];
                 points[3 * k + 1] = position[2 * idx + 1];
                 points[3 * k + 2] = (double)t;

@@ -88,6 +88,23 @@ def make_batches(n: int, batch_size: int, rng: np.random.RandomState,
     return batches
 
 
+def _chunk_pointwise(data: PointwiseData, chunk: int):
+    """Pad-and-reshape a pointwise set into (n_chunks, chunk, ...) device
+    arrays plus a validity mask, for chunked single-program validation."""
+    n = len(data)
+    pad = (-n) % chunk
+    def prep(x):
+        x = np.asarray(x)
+        if pad:
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        return jnp.asarray(x.reshape((-1, chunk) + x.shape[1:]))
+    mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    chunks = (prep(data.ped_features), prep(data.obs_features),
+              prep(data.self_features), prep(data.labels),
+              jnp.asarray(mask.reshape(-1, chunk)))
+    return chunks, n
+
+
 # ---------------------------------------------------------------------------
 # checkpointing (reference: simulators.py:251-289 naming contract)
 # ---------------------------------------------------------------------------
@@ -165,41 +182,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _pointwise_step_fn(self):
-        cfg = self.cfg
-        model = self.model
-
         @jax.jit
         def step(params, opt_state, ped, obs, self_f, labels, rng):
             def loss_fn(p):
-                out = model.apply(p, ped, obs, self_f, deterministic=False,
-                                  rngs={"dropout": rng})
-                pred, p_msg = out.pred_acc, out.ped_msgs
-                if cfg.pinnsf_interaction == "loss":
-                    sf_version = "v2" if cfg.iter_flag else "v0"
-                    analytic = forces.pairwise_acceleration(
-                        ped, sf_version, cfg.dataset_name
-                    )
-                    mse = (jnp.sum((p_msg - analytic) ** 2)
-                           + cfg.true_label_weight
-                           * jnp.sum((pred - labels[:, 4:6]) ** 2))
-                else:
-                    mse = jnp.sum((pred - labels[:, 4:6]) ** 2)
-                loss = mse
-                reg = jnp.zeros(())
-                if cfg.reg_weight > 0 and p_msg is not None:
-                    reg = losses.l1_reg_loss(p_msg, cfg.reg_weight, "sum")
-                    loss = loss + reg
-                cp_loss = jnp.zeros(())
-                cp_acc = jnp.zeros(())
-                if cfg.collision_pred_weight > 0 and out.coll_pred is not None \
-                        and cfg.model == "pinnsf_bm":
-                    target = labels[:, 6:]
-                    cp_loss = losses.binary_cross_entropy(out.coll_pred, target, "sum")
-                    cp_acc = jnp.mean(
-                        (jnp.round(out.coll_pred) == target).astype(jnp.float32)
-                    )
-                    loss = loss + cp_loss
-                return loss, (mse, reg, cp_loss, cp_acc)
+                return self._pointwise_loss_terms(
+                    p, ped, obs, self_f, labels, rng)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -218,6 +205,92 @@ class Trainer:
 
         return run
 
+    def _pointwise_loss_terms(self, params, ped, obs, self_f, labels, rng):
+        """Shared pretrain loss stack (reference: simulators.py:327-359)."""
+        cfg = self.cfg
+        out = self.model.apply(params, ped, obs, self_f, deterministic=False,
+                               rngs={"dropout": rng})
+        pred, p_msg = out.pred_acc, out.ped_msgs
+        if cfg.pinnsf_interaction == "loss":
+            sf_version = "v2" if cfg.iter_flag else "v0"
+            analytic = forces.pairwise_acceleration(ped, sf_version,
+                                                    cfg.dataset_name)
+            mse = (jnp.sum((p_msg - analytic) ** 2)
+                   + cfg.true_label_weight
+                   * jnp.sum((pred - labels[:, 4:6]) ** 2))
+        else:
+            mse = jnp.sum((pred - labels[:, 4:6]) ** 2)
+        loss = mse
+        reg = jnp.zeros(())
+        if cfg.reg_weight > 0 and p_msg is not None:
+            reg = losses.l1_reg_loss(p_msg, cfg.reg_weight, "sum")
+            loss = loss + reg
+        cp_loss = jnp.zeros(())
+        cp_acc = jnp.zeros(())
+        if cfg.collision_pred_weight > 0 and out.coll_pred is not None \
+                and cfg.model == "pinnsf_bm":
+            target = labels[:, 6:]
+            cp_loss = losses.binary_cross_entropy(out.coll_pred, target, "sum")
+            cp_acc = jnp.mean(
+                (jnp.round(out.coll_pred) == target).astype(jnp.float32)
+            )
+            loss = loss + cp_loss
+        return loss, (mse, reg, cp_loss, cp_acc)
+
+    def _epoch_fn(self, val_chunk: int):
+        """One jitted program per epoch: lax.scan over shuffled batches plus
+        chunked full-validation — a single host sync per epoch instead of one
+        per batch (the axon tunnel costs ~28 ms per dispatch, which dominated
+        round-1 pretraining; see RESULTS.md round-1 'host dispatch' note).
+
+        Validation runs in fixed-size chunks via ``lax.map`` so the full
+        valid set never materializes its (R, k, 6) activations at once."""
+        tx = self.tx
+
+        # no buffer donation: best_params/checkpointing hold references to
+        # earlier epochs' outputs, which donation would invalidate
+        @partial(jax.jit, static_argnames=("n_valid",))
+        def epoch(params, opt_state, train, valid, batch_idx, rng,
+                  n_valid: int):
+            def body(carry, xs):
+                params, opt_state = carry
+                idx, key = xs
+                def loss_fn(p):
+                    return self._pointwise_loss_terms(
+                        p,
+                        jnp.take(train.ped_features, idx, axis=0),
+                        jnp.take(train.obs_features, idx, axis=0),
+                        jnp.take(train.self_features, idx, axis=0),
+                        jnp.take(train.labels, idx, axis=0),
+                        key,
+                    )
+
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                mse, reg, cp, cp_acc = aux
+                return (params, opt_state), jnp.stack(
+                    [loss, mse, reg, cp, cp_acc * idx.shape[0]]
+                )
+
+            keys = jax.random.split(rng, batch_idx.shape[0])
+            (params, opt_state), stats = jax.lax.scan(
+                body, (params, opt_state), (batch_idx, keys)
+            )
+
+            def val_chunk_fn(args):
+                ped, obs, sf, lab, m = args
+                pred = self.model.apply(params, ped, obs, sf).pred_acc
+                err = jnp.sum((pred - lab[:, 4:6]) ** 2, axis=-1) * m
+                return jnp.sum(err)
+
+            sq_sum = jnp.sum(jax.lax.map(val_chunk_fn, valid))
+            val_mse = sq_sum / (2.0 * n_valid)
+            return params, opt_state, jnp.sum(stats, axis=0), val_mse
+
+        return epoch
+
     # ------------------------------------------------------------------
     def train_pointwise(
         self,
@@ -234,45 +307,40 @@ class Trainer:
         opt_state = self.tx.init(params)
         state = TrainState(params, opt_state)
         best_params = params
-        step = self._pointwise_step_fn()
-        validate = self._validate_pointwise_fn()
         np_rng = np.random.RandomState(cfg.seed)
         patience_limit = cfg.ft_patience if cfg.compat_swapped_patience else cfg.patience
+
+        # device-resident data + whole-epoch jitted program: ONE host sync per
+        # epoch (train scan + chunked validation) instead of one per batch
+        n = len(train_data)
+        n_batches = max(n // cfg.batch_size, 1)
+        batch_size = min(cfg.batch_size, n)
+        train_dev = jax.device_put(train_data)
+        val_chunk = min(8192, max(len(valid_data), 1))
+        valid_chunks, n_valid = _chunk_pointwise(valid_data, val_chunk)
+        epoch_fn = self._epoch_fn(val_chunk)
 
         start = time.time()
         for epoch in range(cfg.epochs):
             state.epoch = epoch
-            batches = make_batches(len(train_data), cfg.batch_size, np_rng,
-                                   shuffle=True)
-            log = dict(loss=0.0, mse=0.0, reg=0.0, cp=0.0, cp_acc=0.0)
-            n_train = 0
-            for idx in batches:
-                idx = jnp.asarray(idx)
-                self.rng, key = jax.random.split(self.rng)
-                state.params, state.opt_state, loss, aux = step(
-                    state.params, state.opt_state,
-                    train_data.ped_features[idx], train_data.obs_features[idx],
-                    train_data.self_features[idx], train_data.labels[idx], key,
-                )
-                mse, reg, cp, cp_acc = aux
-                n_train += len(idx)
-                log["loss"] += float(loss)
-                log["mse"] += float(mse)
-                log["reg"] += float(reg)
-                log["cp"] += float(cp)
-                log["cp_acc"] += float(cp_acc) * len(idx)
-
-            n_train = max(n_train, 1)
+            perm = np_rng.permutation(n)[:n_batches * batch_size]
+            batch_idx = jnp.asarray(
+                perm.reshape(n_batches, batch_size), jnp.int32
+            )
+            self.rng, key = jax.random.split(self.rng)
+            state.params, state.opt_state, stats, val_mse = epoch_fn(
+                state.params, state.opt_state, train_dev, valid_chunks,
+                batch_idx, key, n_valid=n_valid,
+            )
+            # single host sync for the whole epoch; plain floats for the logger
+            stats = [float(s) for s in np.asarray(stats)]
+            n_train = n_batches * batch_size
             self.logger.log(
                 epoch=epoch, time=time.time() - start,
-                train_loss=log["loss"] / n_train, train_mse=log["mse"] / n_train,
-                coll_pred=log["cp"] / n_train, acc_pred=log["cp_acc"] / n_train,
+                train_loss=stats[0] / n_train, train_mse=stats[1] / n_train,
+                coll_pred=stats[3] / n_train, acc_pred=stats[4] / n_train,
             )
-
-            val_loss = float(validate(
-                state.params, valid_data.ped_features, valid_data.obs_features,
-                valid_data.self_features, valid_data.labels,
-            ))
+            val_loss = float(val_mse)
             self.logger.log(epoch=epoch, val_loss=val_loss, val_mse=val_loss)
 
             if val_loss < state.best_val:

@@ -1,0 +1,121 @@
+"""Orchestrator wiring tests: ratio split, add_noise, augmentation config,
+OnlyTraining — the config flags must actually change the built datasets
+(reference: src/data/dataset.py:75-95, 208-310)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from piml_tpu.config import PIMLConfig
+from piml_tpu.data import (
+    OnlyTrainingDataset,
+    PointwiseDataset,
+    RatioSplitDataset,
+    split_train_val_test,
+)
+
+REF = "/root/reference/src"
+TOY = "/root/reference/data/GC_Dataset/GC_Dataset_toy1.npy"
+
+
+def _cfg(**kw):
+    base = dict(skip_frames=5, valid_steps=4, seed=7)
+    base.update(kw)
+    return PIMLConfig(**base)
+
+
+def _write_config(tmp_path, mapping):
+    p = tmp_path / "data.yaml"
+    p.write_text(yaml.safe_dump(mapping))
+    return str(p)
+
+
+def test_split_train_val_test_matches_reference():
+    if not os.path.isdir(REF):
+        pytest.skip("reference unavailable")
+    sys.path.insert(0, REF)
+    try:
+        from data.dataset import BaseDataset
+    finally:
+        sys.path.remove(REF)
+    for n, shuffle, seed in [(100, False, 0), (57, False, 3), (100, True, 5)]:
+        ref = BaseDataset.split_train_val_test(n, 0.6, 0.2, 0.2, seed, shuffle)
+        got = split_train_val_test(n, 0.6, 0.2, 0.2, seed, shuffle)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_split_rejects_bad_ratios():
+    with pytest.raises(ValueError):
+        split_train_val_test(10, 0.5, 0.2, 0.2, 0)
+
+
+def test_ratio_split_dataset(toy_path):
+    ds = RatioSplitDataset()
+    ds.load_data(toy_path)
+    cfg = ds.build_dataset(_cfg())
+    assert len(ds.train_data) > 0 and len(ds.valid_data) > 0
+    assert len(ds.test_data) == 1
+    # test tail is time-indexed with the right frame count
+    total = ds.scene.num_steps
+    n_test = total - int(total * 0.8)
+    assert ds.test_data[0].num_frames == n_test
+    # pointwise rows from disjoint frame sets never exceed the full set
+    full = RatioSplitDataset()
+    full.load_data(toy_path)
+    full_cfg = full.build_dataset(_cfg(train_ratio=1.0, val_ratio=0.0,
+                                       test_ratio=0.0))
+    assert len(ds.train_data) + len(ds.valid_data) <= len(full.train_data)
+    assert cfg.self_feature_dim == full_cfg.self_feature_dim
+
+
+def test_add_noise_flag_changes_training_rows(tmp_path, toy_path):
+    path = _write_config(tmp_path, {"train": [toy_path], "valid": [toy_path],
+                                    "test": [toy_path]})
+    clean, noisy = PointwiseDataset(), PointwiseDataset()
+    clean.load_data(path)
+    noisy.load_data(path)
+    clean.build_dataset(_cfg())
+    noisy.build_dataset(_cfg(add_noise_flag=True, add_noise_std=0.1))
+    assert len(clean.train_data) == len(noisy.train_data)
+    # the perturbation must actually reach the built features/labels ...
+    assert not np.allclose(np.asarray(clean.train_data.self_features),
+                           np.asarray(noisy.train_data.self_features))
+    # ... but never the test split (reference keeps test clean, dataset.py:243)
+    np.testing.assert_allclose(
+        np.asarray(clean.test_data[0].position),
+        np.asarray(noisy.test_data[0].position),
+    )
+
+
+def test_augmentation_config_wiring(tmp_path, toy_path):
+    path = _write_config(tmp_path, {"train": [toy_path], "valid": [toy_path]})
+    plain, aug = PointwiseDataset(), PointwiseDataset()
+    plain.load_data(path)
+    aug.load_data(path)
+    plain.build_dataset(_cfg())
+    aug.build_dataset(_cfg(augment_thetas=str(np.pi), augment_mirrors="0.0",
+                           augment_splits="train"))
+    # rotate + mirror triple the train scenes; valid untouched
+    assert len(aug.train_data) == 3 * len(plain.train_data)
+    assert len(aug.valid_data) == len(plain.valid_data)
+
+
+def test_only_training_dataset(tmp_path, toy_path):
+    path = _write_config(tmp_path, {"train": [toy_path, toy_path],
+                                    "valid": [toy_path], "test": [toy_path]})
+    ds = OnlyTrainingDataset()
+    ds.load_data(path)
+    ds.build_dataset(_cfg())
+    assert len(ds.train_data) > 0
+    assert hasattr(ds.valid_data, "labels")  # pointwise when not finetuning
+    assert len(ds.test_data) == 1
+
+    ft = OnlyTrainingDataset()
+    ft.load_data(path)
+    ft.build_dataset(_cfg(finetune_flag=True))
+    assert isinstance(ft.valid_data, list)  # channeled windows when finetuning
+    assert ft.valid_data[0].num_channels >= 1
