@@ -127,6 +127,11 @@ class PIMLConfig:
     iter_flag: bool = False            # SR-iteration flag: v2 supervision constants
     iter_model_name_suffix: str = ""
 
+    # ----- resume (beyond the reference: simulators.py has no optimizer-state
+    # or mid-run resume, SURVEY §5) -----
+    resume: bool = False               # restore latest full TrainState and continue
+    resume_every: int = 1              # save a resumable checkpoint every N epochs
+
     # ----- TPU execution -----
     precision: str = "float32"         # compute dtype for the NN path
     n_devices: int = 0                 # 0 = all local devices; batch/channel data parallel

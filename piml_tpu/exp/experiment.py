@@ -1,0 +1,155 @@
+"""Staged pretrain→finetune→evaluate experiment runner.
+
+The reference runs this pipeline monolithically in src/main.py:126-174;
+here each stage is separately runnable and resumable (results accumulate in
+a JSON state file, checkpoints under cfg.save_dir), so multi-hour runs can
+be driven incrementally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from piml_tpu.config import PIMLConfig
+from piml_tpu.data import FinetuneDataset, PointwiseDataset, channel_batches
+from piml_tpu.engine import evaluate_rollouts
+from piml_tpu.train import Trainer, checkpoint_path, load_params
+from piml_tpu.utils import MetricLogger
+
+
+def read_state(path: str) -> dict:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def write_state(path: str, results: dict) -> None:
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+
+
+def run_staged_experiment(cfg: PIMLConfig, stage: str, state_path: str,
+                          logger: Optional[MetricLogger] = None) -> dict:
+    """stage ∈ {all, pretrain, finetune, evaluate}.  Returns the accumulated
+    results dict (also persisted to ``state_path`` after every stage)."""
+    import jax
+
+    assert stage in {"all", "pretrain", "finetune", "evaluate"}
+    logger = logger or MetricLogger()
+    results = read_state(state_path)
+    t_all = time.time()
+
+    trainer = None
+    params = None
+
+    # ---- pretrain on synthetic social-force data ---------------------------
+    if stage in {"all", "pretrain"}:
+        synth = PointwiseDataset()
+        synth.load_data(cfg.data_config)
+        cfg = synth.build_dataset(cfg)
+        logger.info(f"pretrain rows: train={len(synth.train_data)} "
+                    f"valid={len(synth.valid_data)}")
+        trainer = Trainer(cfg, logger)
+        t0 = time.time()
+        state = trainer.train_pointwise(synth.train_data, synth.valid_data)
+        results["pretrain"] = {
+            "val_mse": state.best_val, "wall_s": time.time() - t0,
+            "epochs_ran": state.epoch + 1,
+        }
+        write_state(state_path, results)
+        params = state.params
+        if stage == "pretrain":
+            return results
+
+    # ---- real data ---------------------------------------------------------
+    real = FinetuneDataset()
+    real.load_data(cfg.ft_data_config)
+    cfg = real.build_dataset(cfg)
+    if trainer is None:  # resumed stage: rebuild trainer + load checkpoint
+        trainer = Trainer(cfg, logger)
+        from piml_tpu.data.views import to_pointwise
+
+        sample = to_pointwise(real.valid_data[0])
+        template = trainer.model.init(
+            jax.random.PRNGKey(0), sample.ped_features[:1],
+            sample.obs_features[:1], sample.self_features[:1],
+        )
+        params = load_params(checkpoint_path(cfg, finetuned=False), template)
+    trainer.cfg = cfg
+
+    # pretrained model judged on the same held-out real window as the
+    # finetuned one (reference: test_multiple_rollouts on test_data)
+    apply_fn = lambda p, pf, of, sf: trainer.model.apply(p, pf, of, sf)
+    t0 = time.time()
+    pre_metrics = evaluate_rollouts(params, apply_fn, cfg, real.test_data,
+                                    test_flag=True)
+    logger.log(stage="pretrain_test_real", **vars(pre_metrics))
+    results["pretrain_test"] = dict(vars(pre_metrics),
+                                    eval_wall_s=time.time() - t0)
+    write_state(state_path, results)
+
+    # ---- finetune with the differentiable rollout loss ---------------------
+    if stage in {"all", "finetune"}:
+        rng = np.random.RandomState(cfg.seed)
+        batches = channel_batches(real.train_data, cfg.ft_batch_size, rng,
+                                  shuffle=True)
+        logger.info(f"finetune batches: {len(batches)}")
+        t0 = time.time()
+        ft_state = trainer.finetune(batches, real.valid_data, None,
+                                    pretrained=params)
+        results["finetune"] = {
+            "val_loss": ft_state.best_val, "wall_s": time.time() - t0,
+            "epochs_ran": ft_state.epoch + 1,
+        }
+        ft_params = ft_state.params
+    else:  # evaluate: load the saved finetuned checkpoint
+        from piml_tpu.models import ModelSpec, build_finetune_model
+
+        ft_model = build_finetune_model(ModelSpec.from_config(cfg))
+        sample = real.test_data[0]
+        template = ft_model.init(
+            jax.random.PRNGKey(0), sample.ped_features[0],
+            sample.obs_features[0], sample.self_features[0],
+        )
+        ft_params = load_params(checkpoint_path(cfg, True), template)
+        trainer.model = ft_model
+
+    ft_apply = lambda p, pf, of, sf: trainer.model.apply(p, pf, of, sf)
+    ft_metrics = evaluate_rollouts(ft_params, ft_apply, cfg, real.test_data,
+                                   test_flag=True)
+    logger.log(stage="finetune_test", **vars(ft_metrics))
+    results["finetune_test"] = dict(vars(ft_metrics))
+    results["total_wall_s"] = results.get("total_wall_s", 0) + time.time() - t_all
+    write_state(state_path, results)
+    return results
+
+
+def results_table_md(results: dict) -> str:
+    """Pretrained-vs-finetuned metric table for RESULTS.md."""
+    pre, ft = results["pretrain_test"], results["finetune_test"]
+    ptr, ftr = results.get("pretrain", {}), results.get("finetune", {})
+    rows = [
+        ("rollout MSE", f"{pre['mse']:.4f}", f"{ft['mse']:.4f}"),
+        ("rollout MAE (m)", f"{pre['mae']:.4f}", f"{ft['mae']:.4f}"),
+        ("Sinkhorn OT", f"{pre['ot']:.4f}", f"{ft['ot']:.4f}"),
+        ("MMD", f"{pre['mmd']:.6f}", f"{ft['mmd']:.6f}"),
+        ("soft collisions", f"{pre['collision']:.0f}", f"{ft['collision']:.0f}"),
+        ("hard collisions", f"{pre['hard_collision']:.0f}",
+         f"{ft['hard_collision']:.0f}"),
+    ]
+    out = ["| metric | pretrained | finetuned |", "|---|---|---|"]
+    out += [f"| {a} | {b} | {c} |" for a, b, c in rows]
+    out.append("")
+    out.append(
+        f"Pretrain: best val MSE {ptr.get('val_mse', float('nan')):.5f}, "
+        f"{ptr.get('epochs_ran', '?')} epochs, {ptr.get('wall_s', 0):.0f} s. "
+        f"Finetune: best val loss {ftr.get('val_loss', float('nan')):.4f}, "
+        f"{ftr.get('epochs_ran', '?')} epochs, {ftr.get('wall_s', 0):.0f} s."
+    )
+    return "\n".join(out)

@@ -33,6 +33,13 @@ class MLAPMParams:
     C: float = 0.2
     D: float = -0.3
     theta: float = 56.0  # degrees
+    # UCY-version gating compat: the reference formula (mlapm.py:53) gives a
+    # CONSTANT repulsion A·exp(0)=A to every in-view non-colliding pair
+    # (coll=0 zeroes the exponent, not the magnitude), so crowds never settle;
+    # the branch is unrunnable as shipped so this was never observed there.
+    # True reproduces that formula; False applies the evident intent —
+    # repulsion only when a collision is predicted within 1 s.
+    ucy_gate_compat: bool = True
 
     @classmethod
     def gc_paper(cls) -> "MLAPMParams":
@@ -119,6 +126,9 @@ def mlapm_force(
             coll |= (tmin > 0) & (tmin < 1) & (dmin < radius * 2)
             coll_f = coll.astype(r.dtype)[..., None]
             mag = params.A * jnp.exp(params.B * r * coll_f + params.C * coll_f)
+            if not params.ucy_gate_compat:
+                # intent gating: no predicted collision → no repulsion
+                mag = mag * coll_f
     else:
         raise NotImplementedError(params.version)
 

@@ -155,6 +155,46 @@ class TrainState:
     patience: int = 0
 
 
+def _resume_dir(cfg: PIMLConfig, finetuned: bool) -> str:
+    return checkpoint_path(cfg, finetuned) + "_resume"
+
+
+def _save_resumable(cfg: PIMLConfig, state: TrainState, finetuned: bool) -> None:
+    from piml_tpu.train import checkpoint as ckpt
+
+    ckpt.save_train_state(
+        _resume_dir(cfg, finetuned), state.epoch, state.params, state.opt_state,
+        extra={"best_val": state.best_val, "patience": state.patience,
+               "epoch": state.epoch},
+    )
+
+
+def _try_resume(cfg: PIMLConfig, state: TrainState, finetuned: bool,
+                logger: MetricLogger) -> int:
+    """Restore the latest full TrainState; returns the epoch to start from.
+
+    Epoch-granular by design: with scanned epochs the epoch is the atomic
+    dispatch unit, and per-epoch derived RNGs make the continuation
+    bit-identical to an uninterrupted run."""
+    from piml_tpu.train import checkpoint as ckpt
+
+    template = {
+        "params": state.params, "opt_state": state.opt_state,
+        "extra": {"best_val": 0.0, "patience": 0, "epoch": 0},
+    }
+    restored = ckpt.restore_train_state(_resume_dir(cfg, finetuned), template)
+    if restored is None:
+        return 0
+    state.params = restored["params"]
+    state.opt_state = restored["opt_state"]
+    state.best_val = float(restored["extra"]["best_val"])
+    state.patience = int(restored["extra"]["patience"])
+    start = int(restored["extra"]["epoch"]) + 1
+    logger.info(f"resumed from epoch {start - 1} "
+                f"(best_val={state.best_val:.6f}, patience={state.patience})")
+    return start
+
+
 class Trainer:
     """Pretrain / finetune driver (reference: BaseSimulator.train/finetune)."""
 
@@ -307,8 +347,10 @@ class Trainer:
         opt_state = self.tx.init(params)
         state = TrainState(params, opt_state)
         best_params = params
-        np_rng = np.random.RandomState(cfg.seed)
         patience_limit = cfg.ft_patience if cfg.compat_swapped_patience else cfg.patience
+        start_epoch = _try_resume(cfg, state, False, self.logger) if cfg.resume else 0
+        if start_epoch and os.path.exists(checkpoint_path(cfg, False)):
+            best_params = load_params(checkpoint_path(cfg, False), params)
 
         # device-resident data + whole-epoch jitted program: ONE host sync per
         # epoch (train scan + chunked validation) instead of one per batch
@@ -321,13 +363,16 @@ class Trainer:
         epoch_fn = self._epoch_fn(val_chunk)
 
         start = time.time()
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             state.epoch = epoch
-            perm = np_rng.permutation(n)[:n_batches * batch_size]
+            # per-epoch derived RNGs: shuffling and dropout depend only on
+            # (seed, epoch), so a resumed run continues bit-identically
+            perm = np.random.RandomState(cfg.seed + epoch).permutation(n)[
+                :n_batches * batch_size]
             batch_idx = jnp.asarray(
                 perm.reshape(n_batches, batch_size), jnp.int32
             )
-            self.rng, key = jax.random.split(self.rng)
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
             state.params, state.opt_state, stats, val_mse = epoch_fn(
                 state.params, state.opt_state, train_dev, valid_chunks,
                 batch_idx, key, n_valid=n_valid,
@@ -353,6 +398,8 @@ class Trainer:
                 state.patience += 1
                 if state.patience > patience_limit:
                     break
+            if cfg.resume and epoch % max(cfg.resume_every, 1) == 0:
+                _save_resumable(cfg, state, False)
         # the reference evaluates the best-validation checkpoint, not the
         # last epoch (load_model=True in test_multiple_rollouts,
         # simulators.py:563-564)
@@ -410,6 +457,25 @@ class Trainer:
             params2 = optax.apply_updates(params, updates)
             return params2, opt_state2, out
 
+        @jax.jit
+        def ft_epoch(params, opt_state, stacked: ChanneledData):
+            """lax.scan over a same-shape stack of window batches: one
+            dispatch + one host sync per group per epoch instead of per
+            batch (the reference's per-batch loop is simulators.py:317-326;
+            here the whole epoch is one XLA program)."""
+
+            def body(carry, batch):
+                params, opt_state = carry
+                params, opt_state, out = ft_step(params, opt_state, batch)
+                return (params, opt_state), out
+
+            (params, opt_state), outs = jax.lax.scan(
+                body, (params, opt_state), stacked
+            )
+            return params, opt_state, jax.tree_util.tree_map(
+                lambda x: jnp.sum(x), outs
+            )
+
         def validate() -> float:
             m = evaluate_rollouts(state.params, apply_fn, cfg, valid_data,
                                   test_flag=False)
@@ -419,23 +485,40 @@ class Trainer:
 
         patience_limit = cfg.patience if cfg.compat_swapped_patience else cfg.ft_patience
         # epoch-0 checkpoint + baseline validation (simulators.py:298-304)
-        save_params(checkpoint_path(cfg, True), state.params)
-        best_params = state.params
-        state.best_val = validate()
+        start_epoch = _try_resume(cfg, state, True, self.logger) if cfg.resume else 0
+        if start_epoch:
+            best_params = load_params(checkpoint_path(cfg, True), state.params) \
+                if os.path.exists(checkpoint_path(cfg, True)) else state.params
+        else:
+            save_params(checkpoint_path(cfg, True), state.params)
+            best_params = state.params
+            state.best_val = validate()
+
+        # group same-shape window batches into stacked scan inputs; batch
+        # composition is fixed across epochs, matching the reference's
+        # loader-built-once batches (src/main.py:131, data_loader.py:41)
+        groups: Dict[tuple, list] = {}
+        for batch in train_batches:
+            groups.setdefault(tuple(batch.ped_features.shape), []).append(batch)
+        stacks = [
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs)
+            for bs in groups.values()
+        ]
+        n_train = max(sum(
+            int(np.sum(np.asarray(b.mask_p_pred) == 1)) for b in train_batches
+        ), 1)
 
         start = time.time()
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             state.epoch = epoch
-            coll_count = hard_count = 0.0
-            log = dict(loss=0.0, mse=0.0, coll=0.0, hard=0.0, cp=0.0, reg=0.0)
-            n_train = 0
-            for batch in train_batches:
-                state.params, state.opt_state, out = ft_step(
-                    state.params, state.opt_state, batch
+            log = dict(loss=0.0, mse=0.0, coll=0.0, hard=0.0, cp=0.0, reg=0.0,
+                       coll_count=0.0, hard_count=0.0)
+            for stacked in stacks:
+                state.params, state.opt_state, out = ft_epoch(
+                    state.params, state.opt_state, stacked
                 )
-                n_train += int(np.sum(np.asarray(batch.mask_p_pred) == 1))
-                coll_count += float(out.collision_count)
-                hard_count += float(out.hard_collision_count)
+                log["coll_count"] += float(out.collision_count)
+                log["hard_count"] += float(out.hard_collision_count)
                 log["loss"] += float(out.loss)
                 log["mse"] += float(out.mse_loss)
                 log["coll"] += float(out.collision_loss)
@@ -443,12 +526,11 @@ class Trainer:
                 log["cp"] += float(out.collision_pred_loss)
                 log["reg"] += float(out.reg_loss)
 
-            n_train = max(n_train, 1)
             self.logger.log(
                 epoch=epoch, time=time.time() - start,
                 train_loss=log["loss"] / n_train, train_mse=log["mse"] / n_train,
                 coll_loss=log["coll"] / n_train, hard_coll_loss=log["hard"] / n_train,
-                coll_count=coll_count, hard_coll_count=hard_count,
+                coll_count=log["coll_count"], hard_coll_count=log["hard_count"],
             )
 
             val_loss = validate()
@@ -462,6 +544,8 @@ class Trainer:
                 state.patience += 1
                 if state.patience > patience_limit:
                     break
+            if cfg.resume and epoch % max(cfg.resume_every, 1) == 0:
+                _save_resumable(cfg, state, True)
 
         # final evaluation uses the best-validation checkpoint
         # (reference: finetune → test_multiple_rollouts with load_model=True,

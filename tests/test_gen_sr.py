@@ -100,6 +100,32 @@ def test_to_scene_roundtrip(tmp_path):
     )
 
 
+def test_mlapm_ucy_circle_simulation():
+    """Closed-loop MLAPM-UCY simulation (reference: mlapm.py:43-53 constants
+    from utils.py:52).  The reference's own UCY branch crashes as shipped
+    (``B*r*coll`` broadcasts to (N,N,N)); this exercises the fixed-intent
+    TPU implementation end to end: agents stay finite while alive and most
+    reach their destinations."""
+    import dataclasses
+
+    from piml_tpu.models import MLAPMParams
+
+    params = dataclasses.replace(MLAPMParams.ucy_v0(), ucy_gate_compat=False)
+    ps, alive = circle_demo(num_frames=400, params=params)
+    ps, alive = np.asarray(ps), np.asarray(alive)
+    live_positions = ps[alive == 1]
+    assert np.isfinite(live_positions).all()
+    assert alive[-1].sum() <= 2, f"agents stuck under MLAPM-UCY: {alive[-1]}"
+    # en-route collision discipline: agents may brush at the center crossing
+    # (all 7 converge on one point) but never interpenetrate
+    for t in range(0, ps.shape[0], 25):
+        live = ps[t][alive[t] == 1]
+        if len(live) > 1:
+            d = np.linalg.norm(live[:, None] - live[None, :], axis=-1)
+            np.fill_diagonal(d, np.inf)
+            assert d.min() > 0.15, f"interpenetration at frame {t}: {d.min()}"
+
+
 def test_mlapm_circle_demo_arrives():
     ps, alive = circle_demo(num_frames=200)
     assert float(np.asarray(alive)[-1].sum()) == 0  # everyone reached antipode

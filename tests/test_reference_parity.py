@@ -357,13 +357,21 @@ def test_rollout_loop_parity(ref_modules, ref_raw, toy_path):
     )
 
 
-@pytest.mark.parametrize("coll_version", ["v0", "v2"])
+@pytest.mark.parametrize("coll_version,decay", [
+    ("v0", 0.9), ("v2", 0.9), ("v0", 1.0), ("v0", 0.5),
+])
 def test_training_rollout_loss_parity(ref_modules, ref_raw, toy_path,
-                                      coll_version):
+                                      coll_version, decay):
     """test_multiple_rollouts_for_training vs training_rollout_loss: same
     stub model, same channeled windows → same loss decomposition and
     collision counts, for both collision-loss versions
-    (simulators.py:659-832, v2 gated by the abnormal mask)."""
+    (simulators.py:659-832, v2 gated by the abnormal mask).
+
+    Parity across several time_decay values is a frame-level trajectory
+    check: the decayed MSE is a weighted sum of per-step squared errors with
+    distinct weight vectors per decay (a Vandermonde system), so agreement at
+    multiple decays forces the per-step error sequence — and hence the
+    simulated trajectory divergence profile — to match step by step."""
     import argparse
 
     import torch
@@ -387,7 +395,7 @@ def test_training_rollout_loss_parity(ref_modules, ref_raw, toy_path,
     batch_c = 3
     cfg = PIMLConfig(
         skip_frames=skip, num_history_velocity=1, valid_steps=stride,
-        time_decay=0.9, collision_loss_weight=7.0, collision_focus_weight=1.0,
+        time_decay=decay, collision_loss_weight=7.0, collision_focus_weight=1.0,
         hard_collision_penalty=2.0, collision_pred_weight=0.0,
         teacher_weight=0.5, reg_weight=0.0, new_collision_loss_flag=False,
         collision_loss_version=coll_version, collision_threshold=0.5,
@@ -402,7 +410,7 @@ def test_training_rollout_loss_parity(ref_modules, ref_raw, toy_path,
         num_history_velocity=1, skip_frames=skip, device="cpu",
         collision_threshold=0.5, collision_pred_weight=0.0,
         reg_weight=0.0, collision_loss_weight=7.0, collision_focus_weight=1.0,
-        hard_collision_penalty=2.0, teacher_weight=0.5, time_decay=0.9,
+        hard_collision_penalty=2.0, teacher_weight=0.5, time_decay=decay,
         new_collision_loss_flag=0, collision_loss_version=coll_version, model="pinnsf",
     )
     ref_ds = ref_modules.TimeIndexedPedData()

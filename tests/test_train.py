@@ -92,6 +92,36 @@ def test_trainer_full_pointwise_path(tmp_path, toy_view):
         assert a.shape == b.shape
 
 
+def test_trainer_resume_bit_identical(tmp_path, toy_view):
+    """Interrupted-then-resumed pretraining equals an uninterrupted run:
+    full TrainState (params+opt+counters) restores and per-epoch derived
+    RNGs replay the same shuffles/dropout (beyond the reference, which has
+    no optimizer-state resume — simulators.py:278-289)."""
+    data = to_pointwise(toy_view)
+
+    def fresh(dirname, epochs, resume):
+        cfg = tiny_cfg(tmp_path / dirname, epochs=epochs, resume=resume)
+        cfg = cfg.replace(self_feature_dim=int(data.self_features.shape[-1]))
+        trainer = Trainer(cfg, MetricLogger(stream=open(os.devnull, "w")))
+        return trainer, cfg
+
+    # uninterrupted 4-epoch run
+    trainer_a, _ = fresh("a", 4, resume=False)
+    state_a = trainer_a.train_pointwise(data, data)
+
+    # interrupted: 2 epochs, then resume to 4 in a new trainer
+    trainer_b, _ = fresh("b", 2, resume=True)
+    trainer_b.train_pointwise(data, data)
+    trainer_b2, _ = fresh("b", 4, resume=True)
+    state_b = trainer_b2.train_pointwise(data, data)
+
+    assert np.isclose(state_a.best_val, state_b.best_val, rtol=1e-6), (
+        state_a.best_val, state_b.best_val)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_merge_pretrained_partial_tree():
     a = {"params": {"enc": jnp.ones((3,)), "head": jnp.zeros((2,))}}
     b = {"params": {"enc": jnp.full((3,), 7.0)}}

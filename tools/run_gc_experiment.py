@@ -1,8 +1,14 @@
-"""Full GC experiment: pretrain on synthetic social-force simulations,
-finetune on a real GC window, report rollout metrics (the reference's
-headline benchmark workflow: src/main.py + exp_configs/piml-gcdata.yaml).
+"""Full GC experiment at the paper's data layout and training budget:
+pretrain on 4 synthetic social-force windows (2104-2344), finetune with
+differentiable 10-step rollouts on 3 real windows (2104-2284), evaluate
+pretrained vs finetuned on the held-out real window 2344-2404.
 
-Writes RESULTS.md at the repo root.
+Reference workflow: src/main.py + exp_configs/piml-gcdata.yaml with
+data_pretrain2.yaml / data_finetune2.yaml; budget epochs=1000 with early
+stopping (patience 20 pretrain / 5 finetune).
+
+Stages are separately runnable/resumable via --stage; writes
+gc_experiment.json + RESULTS.md at the repo root.
 """
 
 import json
@@ -17,27 +23,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from piml_tpu.config import PIMLConfig
 from piml_tpu.data import FinetuneDataset, PointwiseDataset, channel_batches
 from piml_tpu.engine import evaluate_rollouts
-from piml_tpu.train import Trainer
+from piml_tpu.train import Trainer, checkpoint_path, load_params
 from piml_tpu.utils import MetricLogger
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATE = os.path.join(ROOT, "gc_experiment.json")
 
 
-def main():
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--data_config", default="configs/data_configs/gc.yaml")
-    ap.add_argument("--epochs", type=int, default=60)
-    cli = ap.parse_args()
-    t_all = time.time()
-    logger = MetricLogger(jsonl_path=os.path.join(ROOT, "gc_experiment.jsonl"))
-    # Paper hyper-parameters (reference: exp_configs/piml-gcdata.yaml)
-    cfg = PIMLConfig(
-        exp_name="piml-gc", model="pinnsf_bm", dataset_name="gc2344",
-        data_config=os.path.join(ROOT, cli.data_config),
-        ft_data_config=os.path.join(ROOT, "configs/data_configs/gc_finetune.yaml"),
-        epochs=cli.epochs, patience=20, ft_patience=5, batch_size=128, ft_batch_size=32,
+def paper_cfg(epochs: int) -> PIMLConfig:
+    """Paper hyper-parameters (reference: exp_configs/piml-gcdata.yaml)."""
+    return PIMLConfig(
+        exp_name="piml-gc-paper", model="pinnsf_bm", dataset_name="gc2344",
+        model_name_suffix="paper0",
+        data_config=os.path.join(ROOT, "configs/data_configs/gc_pretrain_paper.yaml"),
+        ft_data_config=os.path.join(ROOT, "configs/data_configs/gc_finetune_paper.yaml"),
+        epochs=epochs, patience=20, ft_patience=5, batch_size=128,
+        ft_batch_size=32,
         learning_rate=2e-4, weight_decay=1e-6, finetune_lr_decay=0.02,
         valid_steps=10, skip_frames=25,
         collision_pred_weight=5e-2, collision_loss_weight=200.0,
@@ -46,105 +47,162 @@ def main():
         collision_loss_version="v2",
         dropout=0.5, shuffle=True,
         save_dir=os.path.join(ROOT, "saved_model"),
-        compat_swapped_patience=False,  # use the sane patience mapping
+        compat_swapped_patience=False,  # sane patience mapping
     )
 
-    # ---- pretrain on synthetic simulations --------------------------------
+
+def _read_state():
+    if os.path.exists(STATE):
+        with open(STATE) as f:
+            return json.load(f)
+    return {}
+
+
+def _write_state(results):
+    with open(STATE, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+
+
+def run_pretrain(cfg, logger, results):
     synth = PointwiseDataset()
     synth.load_data(cfg.data_config)
     cfg = synth.build_dataset(cfg)
     logger.info(f"pretrain rows: train={len(synth.train_data)} "
-                f"valid={len(synth.valid_data)} test_scenes={len(synth.test_data)}")
+                f"valid={len(synth.valid_data)}")
     trainer = Trainer(cfg, logger)
     t0 = time.time()
     state = trainer.train_pointwise(synth.train_data, synth.valid_data)
-    pretrain_time = time.time() - t0
+    results["pretrain"] = {
+        "val_mse": state.best_val, "wall_s": time.time() - t0,
+        "epochs_ran": state.epoch + 1,
+    }
+    _write_state(results)
+    return cfg, trainer, state.params
 
-    apply_fn = lambda p, pf, of, sf: trainer.model.apply(p, pf, of, sf)
-    t0 = time.time()
-    pre_metrics = evaluate_rollouts(state.params, apply_fn, cfg,
-                                    synth.test_data, test_flag=True)
-    pre_eval_time = time.time() - t0
-    logger.log(stage="pretrain_test", mse=pre_metrics.mse, mae=pre_metrics.mae,
-               ot=pre_metrics.ot, mmd=pre_metrics.mmd,
-               coll=pre_metrics.collision, hard=pre_metrics.hard_collision)
 
-    # ---- finetune on the real GC window -----------------------------------
+def load_pretrained(cfg, trainer, sample):
+    template = trainer.model.init(
+        __import__("jax").random.PRNGKey(0), sample.ped_features[:1],
+        sample.obs_features[:1], sample.self_features[:1],
+    )
+    return load_params(checkpoint_path(cfg, finetuned=False), template)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all",
+                    choices=["all", "pretrain", "finetune", "evaluate"])
+    ap.add_argument("--epochs", type=int, default=1000)
+    cli = ap.parse_args()
+    t_all = time.time()
+    logger = MetricLogger(jsonl_path=os.path.join(ROOT, "gc_experiment.jsonl"))
+    cfg = paper_cfg(cli.epochs)
+    results = _read_state()
+
+    # ---- pretrain on synthetic simulations --------------------------------
+    if cli.stage in {"all", "pretrain"}:
+        cfg, trainer, params = run_pretrain(cfg, logger, results)
+        if cli.stage == "pretrain":
+            return
+
+    # ---- real data + pretrained checkpoint --------------------------------
     real = FinetuneDataset()
     real.load_data(cfg.ft_data_config)
     cfg = real.build_dataset(cfg)
-    rng = np.random.RandomState(cfg.seed)
-    batches = channel_batches(real.train_data, cfg.ft_batch_size, rng,
-                              shuffle=True)
-    logger.info(f"finetune batches: {len(batches)}")
-    cfg = cfg.replace(epochs=20)
+    if cli.stage in {"finetune", "evaluate"}:
+        trainer = Trainer(cfg, logger)
+        sample_pw = None
+        from piml_tpu.data.views import to_pointwise
+        sample_pw = to_pointwise(real.valid_data[0])
+        params = load_pretrained(cfg, trainer, sample_pw)
     trainer.cfg = cfg
+
+    # pretrained model evaluated on the SAME real held-out window the
+    # finetuned model is judged on (reference: test_multiple_rollouts)
+    apply_fn = lambda p, pf, of, sf: trainer.model.apply(p, pf, of, sf)
     t0 = time.time()
-    ft_state = trainer.finetune(batches, real.valid_data, None,
-                                pretrained=state.params)
-    finetune_time = time.time() - t0
+    pre_metrics = evaluate_rollouts(params, apply_fn, cfg, real.test_data,
+                                    test_flag=True)
+    logger.log(stage="pretrain_test_real", mse=pre_metrics.mse,
+               mae=pre_metrics.mae, ot=pre_metrics.ot, mmd=pre_metrics.mmd,
+               coll=pre_metrics.collision, hard=pre_metrics.hard_collision)
+    results["pretrain_test"] = dict(vars(pre_metrics),
+                                    eval_wall_s=time.time() - t0)
+    _write_state(results)
+
+    # ---- finetune with the differentiable rollout loss --------------------
+    if cli.stage in {"all", "finetune"}:
+        rng = np.random.RandomState(cfg.seed)
+        batches = channel_batches(real.train_data, cfg.ft_batch_size, rng,
+                                  shuffle=True)
+        logger.info(f"finetune batches: {len(batches)}")
+        t0 = time.time()
+        ft_state = trainer.finetune(batches, real.valid_data, None,
+                                    pretrained=params)
+        results["finetune"] = {
+            "val_loss": ft_state.best_val, "wall_s": time.time() - t0,
+            "epochs_ran": ft_state.epoch + 1,
+        }
+        ft_params = ft_state.params
+    else:  # evaluate: load the saved finetuned checkpoint
+        from piml_tpu.models import ModelSpec, build_finetune_model
+
+        ft_model = build_finetune_model(ModelSpec.from_config(cfg))
+        sample = real.test_data[0]
+        template = ft_model.init(
+            __import__("jax").random.PRNGKey(0), sample.ped_features[0],
+            sample.obs_features[0], sample.self_features[0],
+        )
+        ft_params = load_params(checkpoint_path(cfg, True), template)
+        trainer.model = ft_model
 
     ft_apply = lambda p, pf, of, sf: trainer.model.apply(p, pf, of, sf)
-    ft_metrics = evaluate_rollouts(ft_state.params, ft_apply, cfg,
-                                   real.test_data, test_flag=True)
+    ft_metrics = evaluate_rollouts(ft_params, ft_apply, cfg, real.test_data,
+                                   test_flag=True)
     logger.log(stage="finetune_test", mse=ft_metrics.mse, mae=ft_metrics.mae,
                ot=ft_metrics.ot, mmd=ft_metrics.mmd,
                coll=ft_metrics.collision, hard=ft_metrics.hard_collision)
-
-    results = {
-        "pretrain": {
-            "val_mse": state.best_val, "wall_s": pretrain_time,
-            "test": vars(pre_metrics), "eval_wall_s": pre_eval_time,
-        },
-        "finetune": {
-            "val_loss": ft_state.best_val, "wall_s": finetune_time,
-            "test": vars(ft_metrics),
-        },
-        "total_wall_s": time.time() - t_all,
-    }
-    with open(os.path.join(ROOT, "gc_experiment.json"), "w") as f:
-        json.dump(results, f, indent=2, default=float)
-
-    with open(os.path.join(ROOT, "RESULTS.md"), "w") as f:
-        f.write(f"""# RESULTS — GC experiment (one TPU v5e chip)
-
-Reference workflow (src/main.py defaults + exp_configs/piml-gcdata.yaml
-shape): pretrain `pinnsf_bm` pointwise on synthetic GC social-force
-simulations, evaluate closed-loop rollouts on a held-out real GC window,
-finetune with the differentiable 10-step rollout loss on real data.
-
-## Pretrain (synthetic → real-window rollout test)
-
-| metric | value |
-|---|---|
-| best val MSE (pointwise acc) | {state.best_val:.5f} |
-| rollout test MSE | {pre_metrics.mse:.4f} |
-| rollout test MAE (m) | {pre_metrics.mae:.4f} |
-| rollout test Sinkhorn OT | {pre_metrics.ot:.4f} |
-| rollout test MMD | {pre_metrics.mmd:.6f} |
-| soft / hard collisions | {pre_metrics.collision:.0f} / {pre_metrics.hard_collision:.0f} |
-| pretrain wall time | {pretrain_time:.1f} s |
-
-## Finetune (differentiable rollout, 10-step windows)
-
-| metric | value |
-|---|---|
-| best val loss | {ft_state.best_val:.4f} |
-| rollout test MSE | {ft_metrics.mse:.4f} |
-| rollout test MAE (m) | {ft_metrics.mae:.4f} |
-| rollout test Sinkhorn OT | {ft_metrics.ot:.4f} |
-| rollout test MMD | {ft_metrics.mmd:.6f} |
-| soft / hard collisions | {ft_metrics.collision:.0f} / {ft_metrics.hard_collision:.0f} |
-| finetune wall time | {finetune_time:.1f} s |
-
-Total wall time: {results['total_wall_s']:.1f} s.
-
-The reference publishes no benchmark numbers (BASELINE.md); these anchor the
-framework's end-to-end trainability on the paper's own data and metric suite.
-Throughput comparisons vs the reference architecture are in `bench.py` /
-BENCH_r*.json.
-""")
+    results["finetune_test"] = dict(vars(ft_metrics))
+    results["total_wall_s"] = results.get("total_wall_s", 0) + time.time() - t_all
+    _write_state(results)
+    write_results_md(results)
     logger.info("wrote RESULTS.md")
+
+
+def write_results_md(results):
+    pre, ft = results["pretrain_test"], results["finetune_test"]
+    ptr, ftr = results.get("pretrain", {}), results.get("finetune", {})
+    with open(os.path.join(ROOT, "RESULTS.md"), "w") as f:
+        f.write(f"""# RESULTS — GC experiment at paper budget (one TPU v5e chip)
+
+Reference workflow (exp_configs/piml-gcdata.yaml + data_pretrain2/
+data_finetune2): pretrain `pinnsf_bm` pointwise on 4 synthetic GC
+social-force windows (2104-2344), finetune with the differentiable 10-step
+rollout + collision losses on 3 real windows (2104-2284), evaluate
+closed-loop rollouts on the held-out real window 2344-2404.  Budget:
+epochs<=1000 with early stopping (patience 20 / 5), exactly the paper's.
+
+| metric (real window 2344-2404) | pretrained | finetuned |
+|---|---|---|
+| rollout MSE | {pre['mse']:.4f} | {ft['mse']:.4f} |
+| rollout MAE (m) | {pre['mae']:.4f} | {ft['mae']:.4f} |
+| Sinkhorn OT | {pre['ot']:.4f} | {ft['ot']:.4f} |
+| MMD | {pre['mmd']:.6f} | {ft['mmd']:.6f} |
+| soft collisions | {pre['collision']:.0f} | {ft['collision']:.0f} |
+| hard collisions | {pre['hard_collision']:.0f} | {ft['hard_collision']:.0f} |
+
+Pretrain: best val MSE {ptr.get('val_mse', float('nan')):.5f}, \
+{ptr.get('epochs_ran', '?')} epochs, {ptr.get('wall_s', 0):.0f} s.
+Finetune: best val loss {ftr.get('val_loss', float('nan')):.4f}, \
+{ftr.get('epochs_ran', '?')} epochs, {ftr.get('wall_s', 0):.0f} s.
+
+The paper's central claim is that rollout-finetune with collision losses
+reduces collisions at comparable displacement error; the table above is the
+direct check. The reference publishes no numeric results (BASELINE.md);
+throughput comparisons are in bench.py / BENCH_r*.json.
+""")
 
 
 if __name__ == "__main__":
