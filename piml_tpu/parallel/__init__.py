@@ -6,3 +6,11 @@ from piml_tpu.parallel.sharding import (  # noqa: F401
     shard_channeled_batch,
     shard_leading,
 )
+from piml_tpu.parallel.agent_shard import (  # noqa: F401
+    ring_topk_neighbors,
+    sharded_relative_features,
+)
+from piml_tpu.parallel.distributed import (  # noqa: F401
+    init_distributed,
+    is_multi_host,
+)

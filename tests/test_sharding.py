@@ -68,3 +68,53 @@ def test_dp_matches_single_device(eight_devices):
                     jax.tree_util.tree_leaves(p_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_agent_axis_ring_features_match_single_device():
+    import jax.numpy as jnp
+    """The ring-exchange agent-sharded pair pass (parallel/agent_shard.py)
+    equals the single-device relative_features frame on an 8-way virtual
+    mesh — the N²-beyond-one-chip scaling path (SURVEY §5)."""
+    from piml_tpu.data.views import neighbor_config
+    from piml_tpu.parallel import make_mesh
+    from piml_tpu.parallel.agent_shard import sharded_relative_features
+    from piml_tpu.physics.features import heading_direction, relative_features
+    from piml_tpu.config import PIMLConfig
+
+    rng = np.random.RandomState(11)
+    n = 64  # divisible by 8
+    pos = rng.randn(n, 2).astype(np.float32) * 5
+    pos[5] = np.nan  # absent agents
+    pos[41] = np.nan
+    vel = rng.randn(n, 2).astype(np.float32)
+    acc = rng.randn(n, 2).astype(np.float32) * 0.3
+    dest = rng.randn(n, 2).astype(np.float32) * 10
+    obstacles = rng.randn(7, 2).astype(np.float32) * 4
+
+    cfg = PIMLConfig(skip_frames=5)
+    ncfg = neighbor_config(cfg)
+
+    vel_z = np.where(np.isnan(pos), 0.0, vel)
+    heading = heading_direction(jnp.asarray(vel_z), time_axis=False)
+    ped_ref, obs_ref, dest_ref = relative_features(
+        jnp.asarray(pos), jnp.asarray(vel_z), jnp.asarray(acc),
+        jnp.asarray(dest), jnp.asarray(obstacles), ncfg, heading=heading,
+    )
+
+    mesh = make_mesh(8, axis="ap")
+    ped_got, obs_got, dest_got = sharded_relative_features(
+        jnp.asarray(pos), jnp.asarray(vel_z), jnp.asarray(acc),
+        jnp.asarray(dest), jnp.asarray(obstacles), ncfg, mesh,
+    )
+
+    # neighbor slot order may differ on fp ties → compare sorted along k
+    np.testing.assert_allclose(
+        np.sort(np.asarray(ped_got), axis=1),
+        np.sort(np.asarray(ped_ref), axis=1), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(obs_got), axis=1),
+        np.sort(np.asarray(obs_ref), axis=1), atol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(dest_got), np.asarray(dest_ref),
+                               atol=1e-5)
