@@ -24,6 +24,12 @@ Regimes:
    agents: the full O(N²) pair pass at dataset scale every frame (the
    reference architecture cannot materialize its dense (N, N, 6) tensors
    there; its baseline is extrapolated).
+3. **Finetune train step** — the reference's training hot loop
+   (src/models/simulators.py:659-832): value_and_grad of the full
+   differentiable 10-step rollout loss (BPTT through the scan, collision
+   losses, teacher term) + the Adam update, at the paper's finetune batch
+   size on the real GC window.  Reports achieved FLOP/s and MFU (fraction
+   of one v5e chip's 197 TFLOP/s bf16 peak) from XLA's own cost analysis.
 """
 
 import json
@@ -184,10 +190,105 @@ def bench_dense_stress(roundtrip_s):
     }
 
 
+V5E_PEAK_BF16 = 197e12  # one v5e chip, bf16 MXU peak FLOP/s
+
+
+def bench_train_step(roundtrip_s):
+    """One finetune BPTT step (reference hot loop simulators.py:659-832) at
+    paper hyperparameters: 32-window channel batch x 10-frame differentiable
+    rollout on the shipped GC scene, full loss stack, grads, Adam update."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from piml_tpu.config import PIMLConfig
+    from piml_tpu.data import make_time_indexed
+    from piml_tpu.data.views import to_channeled
+    from piml_tpu.engine.simulator import training_rollout_loss
+    from piml_tpu.models import ModelSpec, build_finetune_model
+    from piml_tpu.scene import Scene
+    from piml_tpu.train.trainer import make_optimizer
+
+    cfg = PIMLConfig(
+        model="pinnsf_bm", dataset_name="gc2344", dropout=0.0, skip_frames=25,
+        valid_steps=10, ft_batch_size=32, learning_rate=2e-4,
+        weight_decay=1e-6, finetune_lr_decay=0.02,
+        collision_pred_weight=5e-2, collision_loss_weight=200.0,
+        collision_focus_weight=1.0, hard_collision_penalty=2.0,
+        time_decay=0.9, reg_weight=1e-2, collision_loss_version="v2",
+    )
+    scene = Scene.load(GC_SCENE)
+    data = make_time_indexed(cfg, scene)
+    cfg = cfg.replace(
+        ped_feature_dim=data.feature_dims[0],
+        obs_feature_dim=data.feature_dims[1],
+        self_feature_dim=data.feature_dims[2],
+        time_unit=data.time_unit,
+    )
+    ch = to_channeled(data, cfg.valid_steps, "slice")
+    idx = np.arange(cfg.ft_batch_size) % ch.num_channels
+    batch = ch.slice_channels(idx)
+
+    model = build_finetune_model(ModelSpec.from_config(cfg))
+    params = model.init(
+        jax.random.PRNGKey(0), batch.ped_features[0, 0],
+        batch.obs_features[0, 0], batch.self_features[0, 0],
+    )
+    apply_fn = lambda p, pf, of, sf: model.apply(p, pf, of, sf)
+    tx = make_optimizer(cfg, finetune=True)
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, b):
+        def loss_fn(p):
+            return training_rollout_loss(p, apply_fn, cfg, b).loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    STEPS = 10
+
+    @jax.jit
+    def run(params, opt_state, b):
+        # amortize the tunnel round trip over a scanned program of STEPS
+        # identical train steps with one host-synced scalar
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o, b)
+            return (p, o), loss
+
+        (_, _), losses = jax.lax.scan(body, (params, opt_state), None,
+                                      length=STEPS)
+        return jnp.sum(losses)
+
+    # XLA's own FLOP count for the compiled program (per STEPS steps)
+    lowered = run.lower(params, opt_state, batch)
+    cost = lowered.compile().cost_analysis()
+    flops_total = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    dt = _timed_scalar(run, params, opt_state, batch) - roundtrip_s
+    dt = max(dt, 1e-6)
+    per_step = dt / STEPS
+    n_slots = batch.position.shape[2]
+    flops_per_s = flops_total / dt if flops_total else 0.0
+    return {
+        "batch_windows": int(batch.num_channels),
+        "bptt_frames": int(batch.num_frames),
+        "n_agent_slots": int(n_slots),
+        "s_per_step": per_step,
+        "steps_per_sec": 1.0 / per_step,
+        "flops_per_step": flops_total / STEPS,
+        "achieved_tflops": flops_per_s / 1e12,
+        "mfu_vs_bf16_peak": flops_per_s / V5E_PEAK_BF16,
+    }
+
+
 def main():
     roundtrip = measure_roundtrip()
     gc = bench_gc_window(roundtrip)
     stress = bench_dense_stress(roundtrip)
+    train = bench_train_step(roundtrip)
 
     vs_baseline = None
     stress_vs = None
@@ -201,6 +302,9 @@ def main():
         ref_big = base.get("dense_12685", {}).get("agent_steps_per_sec")
         if ref_big:
             stress_vs = stress["slot_steps_per_sec"] / ref_big
+        ref_ts = base.get("train_step", {}).get("s_per_step")
+        if ref_ts:
+            train["vs_baseline"] = ref_ts / train["s_per_step"]
 
     print(json.dumps({
         "metric": "GC-window closed-loop rollout agent-steps/sec",
@@ -212,6 +316,7 @@ def main():
             "gc_window": {k: round(v, 4) for k, v in gc.items()},
             "dense_12685_stress": {k: round(v, 4) for k, v in stress.items()},
             "dense_12685_vs_baseline": round(stress_vs, 2) if stress_vs else None,
+            "finetune_train_step": {k: round(v, 6) for k, v in train.items()},
         },
     }))
 

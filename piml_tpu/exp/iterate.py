@@ -39,6 +39,8 @@ class IterationResult:
     fit_C: float
     fit_D: float
     fit_r2: float
+    gp_expression: Optional[str] = None  # free-form SR cross-check
+    gp_loss: Optional[float] = None
 
     def mlapm_params(self, tau: float = 0.5, theta: float = 10.0) -> MLAPMParams:
         return MLAPMParams(version="GC", tau=tau, A=self.fit_A, B=self.fit_B,
@@ -49,8 +51,14 @@ def run_iteration(
     cfg: PIMLConfig,
     dataset: PointwiseDataset,
     logger: Optional[MetricLogger] = None,
+    gp_check: bool = False,
 ) -> Tuple[IterationResult, object]:
-    """One loop turn: train → extract messages → fit the force family."""
+    """One loop turn: train → extract messages → fit the force family.
+
+    ``gp_check=True`` additionally runs the free-form symbolic-regression
+    search (reference symbolic_regression.py:38-52; PySR when installed,
+    the native GP engine otherwise) on the same filtered (r, cosθ) data and
+    records the discovered expression alongside the closed-form fit."""
     logger = logger or MetricLogger()
     trainer = Trainer(cfg, logger)
     state = trainer.train_pointwise(dataset.train_data, dataset.valid_data)
@@ -69,10 +77,20 @@ def run_iteration(
     fit = fit_force_law(feats_f[:, 0], feats_f[:, 1], mag_f)
     logger.log(fit_A=fit.A, fit_B=fit.B, fit_C=fit.C, fit_D=fit.D, fit_r2=fit.r2)
 
+    gp_expr, gp_loss = None, None
+    if gp_check:
+        from piml_tpu.sr import symbolic_regression
+
+        model = symbolic_regression(feats_f, mag_f, seed=cfg.seed)
+        best = model.best()
+        gp_expr, gp_loss = best.expression, float(best.loss)
+        logger.log(gp_expression=gp_expr, gp_loss=gp_loss)
+
     result = IterationResult(
         iteration=1 if not cfg.iter_flag else 2,
         val_loss=state.best_val,
         fit_A=fit.A, fit_B=fit.B, fit_C=fit.C, fit_D=fit.D, fit_r2=fit.r2,
+        gp_expression=gp_expr, gp_loss=gp_loss,
     )
     return result, state.params
 

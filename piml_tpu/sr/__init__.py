@@ -10,3 +10,7 @@ from piml_tpu.sr.fit import (  # noqa: F401
     fit_force_law,
     symbolic_regression,
 )
+from piml_tpu.sr.gp import (  # noqa: F401
+    Equation,
+    GPSymbolicRegressor,
+)

@@ -1,9 +1,12 @@
-"""Force-law fitting: PySR bridge + closed-form fallback.
+"""Force-law fitting: free-form SR + closed-form family fit.
 
 Reference: src/symbolic_regression.py:38-52 fits the extracted (features,
-messages) pairs with PySR (Julia, ops ``+ * exp cos``).  PySR is an optional
-dependency here; when absent, :func:`fit_force_law` fits the known discovered
-family ``F(r, cosθ) = A · exp(B·r + C·cosθ + D·r·cosθ)`` in closed form —
+messages) pairs with PySR (Julia, ops ``+ * exp cos``).  Here
+:func:`symbolic_regression` runs PySR when installed, and otherwise the
+native GP engine (:mod:`piml_tpu.sr.gp`) — same operator set and search
+shape, no Julia/network dependency.  :func:`fit_force_law` additionally
+fits the known discovered family
+``F(r, cosθ) = A · exp(B·r + C·cosθ + D·r·cosθ)`` in closed form —
 log-linear least squares — which is exactly the family the reference's SR
 runs converged to (src/models/mlapm.py, src/utils/utils.py:47-93).  The
 fitted constants feed :class:`piml_tpu.models.MLAPMParams` and the
@@ -75,18 +78,27 @@ def fit_direction_bias(direction: np.ndarray, sign_feature: np.ndarray) -> float
 
 def symbolic_regression(X: np.ndarray, y: np.ndarray,
                         unary_ops=("exp", "cos"), niterations: int = 10,
-                        populations: int = 8):
-    """PySR search when available (reference: symbolic_regression.py:38-52);
-    raises otherwise — callers fall back to :func:`fit_force_law`."""
-    if not HAVE_PYSR:
-        raise RuntimeError(
-            "PySR not available; use fit_force_law for the closed-form family"
+                        populations: int = 8, seed: int = 0):
+    """Full symbolic-regression search (reference:
+    symbolic_regression.py:38-52).  Uses PySR when installed; otherwise the
+    native GP engine (:class:`piml_tpu.sr.gp.GPSymbolicRegressor`) runs the
+    same search — identical operator set, populations and iteration budget —
+    with no Julia/network dependency.  Either way the returned model exposes
+    ``equations_`` (pareto table), ``best()`` and ``predict(X)``."""
+    if HAVE_PYSR:  # pragma: no cover - not installable in this environment
+        model = PySRRegressor(
+            niterations=niterations,
+            populations=populations,
+            binary_operators=["+", "*"],
+            unary_operators=list(unary_ops),
         )
-    model = PySRRegressor(
-        niterations=niterations,
-        populations=populations,
-        binary_operators=["+", "*"],
-        unary_operators=list(unary_ops),
+        model.fit(X, y)
+        return model
+    from piml_tpu.sr.gp import GPSymbolicRegressor
+
+    model = GPSymbolicRegressor(
+        binary_operators=("+", "*"), unary_operators=tuple(unary_ops),
+        populations=populations, niterations=niterations, seed=seed,
     )
     model.fit(X, y)
     return model

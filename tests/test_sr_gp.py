@@ -1,0 +1,85 @@
+"""Native GP symbolic regression (piml_tpu/sr/gp.py) — the in-repo
+replacement for the reference's PySR call (symbolic_regression.py:38-52),
+which needs Julia + network installs unavailable here."""
+
+import numpy as np
+import pytest
+
+from piml_tpu.sr import GPSymbolicRegressor, symbolic_regression
+from piml_tpu.sr.fit import HAVE_PYSR
+
+
+def _small(seed=1, **kw):
+    kw.setdefault("populations", 4)
+    kw.setdefault("niterations", 6)
+    kw.setdefault("evolutions_per_iteration", 300)
+    kw.setdefault("batch_size", 512)
+    return GPSymbolicRegressor(seed=seed, **kw)
+
+
+def test_recovers_exponential_force_law():
+    """The paper's pair force family A*exp(B*r) with the reference's exact
+    operator set (+ * exp cos)."""
+    rng = np.random.default_rng(0)
+    r = rng.uniform(0.1, 2.0, size=3000)
+    y = 7.55 * np.exp(-3.0 * r)
+    m = _small().fit(r[:, None], y)
+    best = m.best()
+    assert best.loss < 1e-4
+    # prediction matches the law everywhere, not just on training points
+    rt = np.linspace(0.15, 1.9, 64)
+    assert np.allclose(best.predict(rt[:, None]), 7.55 * np.exp(-3.0 * rt),
+                       rtol=0.05, atol=0.02)
+
+
+def test_recovers_linear_plus_cos_multivariate():
+    rng = np.random.default_rng(1)
+    X = rng.uniform(-2.0, 2.0, size=(2000, 2))
+    y = 3.0 * X[:, 0] + np.cos(X[:, 1])
+    m = _small(seed=3).fit(X, y)
+    assert m.best().loss < 1e-3
+
+
+def test_pareto_front_monotone_and_scored():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0.0, 3.0, size=1000)
+    y = 2.0 * x + 1.0
+    m = _small(seed=2, niterations=3).fit(x[:, None], y)
+    eqs = m.equations_
+    assert len(eqs) >= 2
+    comp = [e.complexity for e in eqs]
+    loss = [e.loss for e in eqs]
+    assert comp == sorted(comp)
+    assert all(l2 < l1 for l1, l2 in zip(loss, loss[1:]))  # strict front
+
+
+def test_respects_operator_whitelist():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0.5, 2.0, size=500)
+    m = _small(seed=4, niterations=2, unary_operators=()).fit(
+        x[:, None], 2.0 * x)
+    for e in m.equations_:
+        assert "exp" not in e.expression and "cos" not in e.expression
+    with pytest.raises(ValueError):
+        GPSymbolicRegressor(binary_operators=("pow",))
+
+
+def test_deterministic_under_seed():
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0.1, 2.0, size=800)
+    y = np.exp(-x) * 2.0
+    a = _small(seed=7, niterations=2).fit(x[:, None], y)
+    b = _small(seed=7, niterations=2).fit(x[:, None], y)
+    assert [e.expression for e in a.equations_] == \
+        [e.expression for e in b.equations_]
+
+
+@pytest.mark.skipif(HAVE_PYSR, reason="PySR present: wrapper uses PySR")
+def test_symbolic_regression_wrapper_uses_gp():
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0.1, 2.0, size=600)
+    y = 4.0 * np.exp(-2.0 * x)
+    model = symbolic_regression(x[:, None], y, niterations=8, populations=4,
+                                seed=1)
+    assert isinstance(model, GPSymbolicRegressor)
+    assert model.best().loss < 1e-2

@@ -110,6 +110,87 @@ def time_rollout(n, frames=5, seed=0):
     return elapsed / frames
 
 
+def dense_features_grad(pos, vel, acc, heading, k, angle_deg, dist_thr):
+    """Differentiable twin of dense_features (gradients flow through the
+    rollout positions during finetune, reference simulators.py:659-832)."""
+    n = pos.shape[0]
+    state = torch.cat([pos, vel, acc], dim=-1)
+    rel = state.unsqueeze(0) - state.unsqueeze(1)
+    dist = torch.norm(rel[..., :2] + 1e-9, dim=-1)
+    cos = torch.nn.functional.cosine_similarity(
+        rel[..., :2], heading.unsqueeze(1).expand(n, n, 2), dim=-1
+    )
+    dist = torch.where(cos < np.cos(3.14 * angle_deg / 180),
+                       torch.full_like(dist, torch.inf), dist)
+    sorted_dist, idx = torch.sort(dist, dim=-1)
+    kk = min(k, n)
+    idx = idx[:, :kk]
+    feats = torch.gather(rel, 1, idx.unsqueeze(-1).expand(n, kk, 6))
+    far = sorted_dist[:, :kk].unsqueeze(-1).expand(n, kk, 6) > dist_thr
+    return torch.where(far, torch.zeros_like(feats), feats)
+
+
+def time_train_step(n, windows=32, bptt=10, reps=2, seed=0):
+    """Reference finetune hot loop (simulators.py:659-832 + main loop
+    317-326): one optimizer step = BPTT through `bptt`-frame differentiable
+    rollouts over a `windows`-channel batch — time-decayed rollout MSE +
+    collision penalty — one backward, one Adam update."""
+    torch.manual_seed(seed)
+    model = EdgeNet().train()
+    obs_model = EdgeNet().train()
+    opt = torch.optim.Adam(
+        list(model.parameters()) + list(obs_model.parameters()),
+        lr=2e-4, weight_decay=1e-6,
+    )
+    obstacles = torch.rand(N_OBSTACLES, 2) * 30
+    dt = 0.08
+    decay = torch.tensor([0.9 ** (bptt - 1 - i) for i in range(bptt)])
+
+    def one_step():
+        opt.zero_grad()
+        total = 0.0
+        for w in range(windows):
+            g = torch.Generator().manual_seed(seed * 1000 + w)
+            pos = torch.rand(n, 2, generator=g) * 30
+            vel = torch.randn(n, 2, generator=g)
+            acc = torch.randn(n, 2, generator=g) * 0.1
+            dest = torch.rand(n, 2, generator=g) * 30
+            labels = torch.rand(bptt, n, 2, generator=g) * 30
+            losses = []
+            for t in range(bptt):
+                heading = vel / vel.norm(dim=-1, keepdim=True).clamp_min(0.1)
+                ped_f = dense_features_grad(pos, vel, acc, heading, K1, 90, 4.0)
+                rel_o = obstacles.unsqueeze(0) - pos.unsqueeze(1)
+                dist_o = rel_o.norm(dim=-1)
+                idx_o = torch.sort(dist_o, dim=-1).indices[:, :K2]
+                obs_rows = torch.gather(
+                    torch.cat([rel_o, torch.zeros(n, obstacles.shape[0], 4)], -1),
+                    1, idx_o.unsqueeze(-1).expand(n, K2, 6),
+                )
+                a_ped = model(ped_f).sum(dim=1)
+                a_obs = obs_model(obs_rows).sum(dim=1)
+                ed = dest - pos
+                ed = ed / ed.norm(dim=-1, keepdim=True).clamp_min(0.1)
+                a = a_ped + a_obs + (1.34 * ed - vel) / 2.0
+                vel = vel + a * dt
+                pos = pos + vel * dt
+                step_mse = ((pos - labels[t]) ** 2).sum(-1).mean()
+                # collision penalty on rollout positions (v2-style gate)
+                d = torch.cdist(pos, pos) + torch.eye(n) * 1e3
+                coll = torch.relu(0.6 - d).sum() / n
+                losses.append(decay[t] * (step_mse + 200.0 * coll))
+            total = total + torch.stack(losses).sum()
+        total.backward()
+        opt.step()
+        return float(total)
+
+    one_step()  # warm caches / allocator
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        one_step()
+    return (time.perf_counter() - t0) / reps
+
+
 def main():
     torch.set_num_threads(os.cpu_count() or 8)
     results = {}
@@ -142,6 +223,14 @@ def main():
     }
     print(f"extrapolated N={n_gc}: {t_gc*1e3:.0f} ms/frame "
           f"({n_gc/t_gc:.0f} agent-steps/s)")
+
+    # finetune train-step regime at the paper batch (32 windows x 10 frames)
+    t_ts = time_train_step(n_win)
+    results["train_step"] = {
+        "n_agents": n_win, "windows": 32, "bptt_frames": 10,
+        "s_per_step": t_ts, "steps_per_sec": 1.0 / t_ts,
+    }
+    print(f"train step N={n_win}: {t_ts:.2f} s/step")
 
     results["threads"] = torch.get_num_threads()
     # headline anchor used by bench.py: like-for-like GC window
