@@ -86,6 +86,9 @@ class PIMLConfig:
     ped_feature_dim: int = 6
     obs_feature_dim: int = 6
     self_feature_dim: int = 7
+    # NN-branch compute dtype: '' = f32 everywhere; 'bfloat16' runs the edge
+    # MLPs on the bf16 MXU path (params, goal force and integration stay f32)
+    compute_dtype: str = ""
 
     # ----- compat flags for reference quirks (SURVEY.md §2.6) -----
     # True reproduces the reference bit-for-bit; False enables the fixed behavior.

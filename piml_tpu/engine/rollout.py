@@ -123,8 +123,15 @@ def make_step(
     dest_num: jax.Array,       # (N,)
     obstacles: jax.Array,      # (M, 2)
     desired_speed: jax.Array,  # (N, 1)
+    stochastic: bool = False,
 ):
-    """Build the scan step ``(params, state, spawn) -> (state, outputs)``."""
+    """Build the scan step ``(params, state, xs) -> (state, outputs)``.
+
+    ``stochastic=True``: xs is ``(spawn, rng)`` and the model forward draws
+    fresh dropout masks each frame — the reference finetunes under
+    ``model.train()``, so dropout is live inside the differentiable rollout
+    (simulators.py:295,659-832); ``apply_fn`` must then accept a trailing
+    rng argument."""
 
     dt = cfg.time_unit
     n_hist = None  # inferred from state at trace time
@@ -142,12 +149,16 @@ def make_step(
         )
         return ped_f, obs_f, self_f
 
-    def step(params, state: EngineState, spawn: SpawnFrame):
+    def step(params, state: EngineState, xs):
+        spawn, rng = xs if stochastic else (xs, None)
         # ---- record current state ------------------------------------------
         present = (~jnp.isnan(state.p[..., 0])).astype(state.p.dtype)
 
         # ---- model forward -------------------------------------------------
-        out = apply_fn(params, state.ped_f, state.obs_f, state.self_f)
+        if stochastic:
+            out = apply_fn(params, state.ped_f, state.obs_f, state.self_f, rng)
+        else:
+            out = apply_fn(params, state.ped_f, state.obs_f, state.self_f)
         a_next = out.pred_acc
         msg_l1 = jnp.sum(jnp.abs(out.ped_msgs)) if out.ped_msgs is not None else jnp.zeros(())
 
@@ -241,14 +252,18 @@ def rollout(
     dest_num: jax.Array,
     obstacles: jax.Array,
     desired_speed: jax.Array,
+    step_rngs: Optional[jax.Array] = None,   # (T_roll,) key array: live dropout
 ) -> Tuple[EngineState, StepOutputs]:
     """Run the scan: ``T_roll`` steps from ``state``; outputs are time-major."""
-    step = make_step(apply_fn, cfg, waypoints, dest_num, obstacles, desired_speed)
+    stochastic = step_rngs is not None
+    step = make_step(apply_fn, cfg, waypoints, dest_num, obstacles,
+                     desired_speed, stochastic=stochastic)
 
     def body(carry, xs):
         return step(params, carry, xs)
 
-    return jax.lax.scan(body, state, spawns)
+    return jax.lax.scan(body, state,
+                        (spawns, step_rngs) if stochastic else spawns)
 
 
 def spawn_frames_from_scene(

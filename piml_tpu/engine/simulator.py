@@ -189,6 +189,7 @@ class TrainingRolloutLoss(NamedTuple):
 
 def training_rollout_loss(
     params, apply_fn, cfg: PIMLConfig, batch: ChanneledData,
+    rng: Optional[jax.Array] = None,
 ) -> TrainingRolloutLoss:
     """Full finetune loss through the differentiable rollout.
 
@@ -196,18 +197,23 @@ def training_rollout_loss(
     loss stack mirrors simulators.py:781-832: time-decayed rollout MSE +
     collision-gated perpendicular penalties (v0/v2) + optional teacher
     acc-MSE (reverse decay) + BCE collision prediction + L1 message reg.
+
+    ``rng``: when given, dropout is live inside the rollout with fresh masks
+    per frame/channel — the reference trains under ``model.train()``
+    (simulators.py:295), so the finetune rollout is stochastic; ``apply_fn``
+    must then accept a trailing rng argument.
     """
     ecfg = engine_config(
         cfg, retire=False, track_collisions=True,
         track_labels=cfg.collision_pred_weight > 0,
     )
 
-    def one_channel(p0, v0, a0, dest0, didx0, pf0, of0, sf0, spawns):
+    def one_channel(p0, v0, a0, dest0, didx0, pf0, of0, sf0, spawns, rngs):
         state = init_state(p0, v0, a0, dest0, didx0, pf0, of0, sf0)
         return rollout(
             params, apply_fn, ecfg, state, spawns,
             batch.waypoints, batch.dest_num, batch.obstacles,
-            batch.desired_speed[:, None],
+            batch.desired_speed[:, None], step_rngs=rngs,
         )[1]
 
     C, T = batch.num_channels, batch.num_frames
@@ -218,11 +224,15 @@ def training_rollout_loss(
     )(batch.position, batch.velocity, batch.acceleration, batch.destination,
       batch.dest_idx, batch.self_features, batch.mask_p, batch.mask_p_pred)
 
+    step_rngs = None
+    if rng is not None:
+        step_rngs = jax.random.split(rng, C * T).reshape(C, T, -1)
+
     outs = jax.vmap(one_channel)(
         batch.position[:, 0], batch.velocity[:, 0], batch.acceleration[:, 0],
         batch.destination[:, 0], batch.dest_idx[:, 0],
         batch.ped_features[:, 0], batch.obs_features[:, 0],
-        batch.self_features[:, 0], spawns,
+        batch.self_features[:, 0], spawns, step_rngs,
     )  # StepOutputs with shapes (C, T, ...)
 
     mask_pred = batch.mask_p_pred  # C, T, N

@@ -83,6 +83,16 @@ def run_staged_experiment(cfg: PIMLConfig, stage: str, state_path: str,
         params = load_params(checkpoint_path(cfg, finetuned=False), template)
     trainer.cfg = cfg
 
+    # ground truth's own collision counts on the test window (the "Real"
+    # calibration row of the paper's tables)
+    from piml_tpu.metrics.metrics import collision_count
+
+    gt_pos = real.test_data[0].position[cfg.skip_frames:]
+    results["gt_test"] = {
+        "collision": float(collision_count(gt_pos, 0.5)),
+        "hard_collision": float(collision_count(gt_pos, 0.25)),
+    }
+
     # pretrained model judged on the same held-out real window as the
     # finetuned one (reference: test_multiple_rollouts on test_data)
     apply_fn = lambda p, pf, of, sf: trainer.model.apply(p, pf, of, sf)
@@ -146,6 +156,12 @@ def results_table_md(results: dict) -> str:
     out = ["| metric | pretrained | finetuned |", "|---|---|---|"]
     out += [f"| {a} | {b} | {c} |" for a, b, c in rows]
     out.append("")
+    gt = results.get("gt_test")
+    if gt:
+        out.append(f"Ground truth (the real window itself): "
+                   f"{gt['collision']:.0f} soft / {gt['hard_collision']:.0f} "
+                   f"hard collisions.")
+        out.append("")
     out.append(
         f"Pretrain: best val MSE {ptr.get('val_mse', float('nan')):.5f}, "
         f"{ptr.get('epochs_ran', '?')} epochs, {ptr.get('wall_s', 0):.0f} s. "

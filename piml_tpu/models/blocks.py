@@ -16,7 +16,7 @@ Notes on reference quirks (SURVEY.md §2.6):
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,12 +42,13 @@ class MLP(nn.Module):
     features: Sequence[int]
     activation: Callable = jax.nn.relu
     output_act: Callable = lambda x: x
+    dtype: Optional[Any] = None  # compute dtype (bf16 MXU path); params stay f32
 
     @nn.compact
     def __call__(self, x):
         n = len(self.features)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense_{i}")(x)
+            x = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)(x)
             x = self.activation(x) if i < n - 1 else self.output_act(x)
         return x
 
@@ -58,10 +59,12 @@ class ResBlock(nn.Module):
 
     features: Sequence[int]
     activation: Callable = jax.nn.relu
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        return x + MLP(self.features, self.activation, self.activation)(x)
+        return x + MLP(self.features, self.activation, self.activation,
+                       dtype=self.dtype)(x)
 
 
 class ResDNN(nn.Module):
@@ -77,6 +80,7 @@ class ResDNN(nn.Module):
     activation: Callable = jax.nn.relu
     dropout: float = 0.0
     chain: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -84,7 +88,8 @@ class ResDNN(nn.Module):
         out = x
         for i, h in enumerate(blocks):
             inp = out if self.chain else x
-            out = ResBlock(tuple(h), self.activation, name=f"block_{i}")(inp)
+            out = ResBlock(tuple(h), self.activation, dtype=self.dtype,
+                           name=f"block_{i}")(inp)
         if self.dropout > 0:
             out = nn.Dropout(rate=self.dropout, deterministic=deterministic)(out)
         return out

@@ -55,6 +55,11 @@ class ModelSpec:
     collision_threshold: float = 0.5
     resdnn_chain: bool = False        # True = fixed residual chain (non-compat)
     dest_norm_axis1: bool = False     # reproduce torch.norm(dim=1) on 3-D input
+    # NN-branch compute dtype ('bfloat16' routes the edge MLPs through the
+    # bf16 MXU path; params stay f32 and the analytic goal force + output
+    # sum stay f32 — the TPU-native precision split the torch reference
+    # cannot express).  None = full f32.
+    compute_dtype: Optional[str] = None
 
     @classmethod
     def from_config(cls, cfg: Any, name: Optional[str] = None) -> "ModelSpec":
@@ -78,7 +83,12 @@ class ModelSpec:
             collision_threshold=cfg.collision_threshold,
             resdnn_chain=not cfg.compat_resdnn_last_block_only,
             dest_norm_axis1=cfg.compat_dest_norm_axis1,
+            compute_dtype=getattr(cfg, "compute_dtype", None) or None,
         )
+
+    @property
+    def nn_dtype(self):
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
     # layer-size helpers
     @property
@@ -151,16 +161,16 @@ class PINNSF(nn.Module):
             polar_base = heading_direction(self_features[..., -5:-3])
 
         # ---- pedestrian branch -------------------------------------------
-        ped_encoder = MLP(s.enc_units, name="ped_encoder")
+        ped_encoder = MLP(s.enc_units, dtype=s.nn_dtype, name="ped_encoder")
         ped_enc_out = ped_encoder(ped_features)
         ped_emb = ResDNN(s.proc_units, act, s.dropout, s.resdnn_chain,
-                         name="ped_processor")(ped_enc_out, deterministic)
+                         dtype=s.nn_dtype, name="ped_processor")(ped_enc_out, deterministic)
         coll_src = None
         if self.bottleneck:
-            ped_emb = MLP(s.dec_units, name="ped_decoder")(ped_emb)
+            ped_emb = MLP(s.dec_units, dtype=s.nn_dtype, name="ped_decoder")(ped_emb)
             if self.collision_head == "decoder":
                 coll_src = ped_emb
-            acc_edge = MLP((2,), name="ped_predictor")(ped_emb)  # ..., k, 2
+            acc_edge = MLP((2,), dtype=s.nn_dtype, name="ped_predictor")(ped_emb)  # ..., k, 2
             if self.polar == "edge":
                 base_k = jnp.broadcast_to(polar_base[..., None, :], acc_edge.shape)
                 acc_edge = polar_mod.polar_to_cart(acc_edge, base_k)
@@ -171,20 +181,20 @@ class PINNSF(nn.Module):
         else:
             ped_msgs = ped_emb
             pooled = jnp.sum(ped_emb, axis=-2)
-            pooled = MLP(s.dec_units, name="ped_decoder")(pooled)
-            pred_acc_ped = MLP((2,), name="ped_predictor")(pooled)
+            pooled = MLP(s.dec_units, dtype=s.nn_dtype, name="ped_decoder")(pooled)
+            pred_acc_ped = MLP((2,), dtype=s.nn_dtype, name="ped_predictor")(pooled)
             if self.polar == "node":
                 pred_acc_ped = polar_mod.polar_to_cart(pred_acc_ped, polar_base)
 
         # ---- obstacle branch ---------------------------------------------
         obs_msgs = None
         if s.obs_feature_dim > 0:
-            obs_emb = MLP(s.enc_units, name="obs_encoder")(obs_features)
+            obs_emb = MLP(s.enc_units, dtype=s.nn_dtype, name="obs_encoder")(obs_features)
             obs_emb = ResDNN(s.proc_units, act, s.dropout, s.resdnn_chain,
-                             name="obs_processor")(obs_emb, deterministic)
+                             dtype=s.nn_dtype, name="obs_processor")(obs_emb, deterministic)
             if self.bottleneck:
-                obs_emb = MLP(s.dec_units, name="obs_decoder")(obs_emb)
-                acc_obs_edge = MLP((2,), name="obs_predictor")(obs_emb)
+                obs_emb = MLP(s.dec_units, dtype=s.nn_dtype, name="obs_decoder")(obs_emb)
+                acc_obs_edge = MLP((2,), dtype=s.nn_dtype, name="obs_predictor")(obs_emb)
                 if self.polar == "edge":
                     base_k = jnp.broadcast_to(polar_base[..., None, :], acc_obs_edge.shape)
                     acc_obs_edge = polar_mod.polar_to_cart(acc_obs_edge, base_k)
@@ -195,13 +205,16 @@ class PINNSF(nn.Module):
             else:
                 obs_msgs = obs_emb
                 pooled = jnp.sum(obs_emb, axis=-2)
-                pooled = MLP(s.dec_units, name="obs_decoder")(pooled)
-                pred_acc_obs = MLP((2,), name="obs_predictor")(pooled)
+                pooled = MLP(s.dec_units, dtype=s.nn_dtype, name="obs_decoder")(pooled)
+                pred_acc_obs = MLP((2,), dtype=s.nn_dtype, name="obs_predictor")(pooled)
                 if self.polar == "node":
                     pred_acc_obs = polar_mod.polar_to_cart(pred_acc_obs, polar_base)
             pred_acc_ped = pred_acc_ped + pred_acc_obs
 
         # ---- analytic goal force -----------------------------------------
+        # bf16 stops at the NN branches: interaction sums, the goal force and
+        # everything downstream accumulate in f32
+        pred_acc_ped = pred_acc_ped.astype(jnp.float32)
         if self.learnable_tau:
             tau = 2.0 + self.param("tau_delta", nn.initializers.zeros, ())
         else:
@@ -238,7 +251,9 @@ class PINNSF(nn.Module):
             coll_pred = MLP((s.dec_units[-1], 1), name="collision_head")(ped_msgs)
             coll_pred = jax.nn.sigmoid(coll_pred)[..., 0]
 
-        return ModelOutput(predictions, ped_msgs, obs_msgs, coll_pred)
+        f32 = lambda x: None if x is None else x.astype(jnp.float32)
+        return ModelOutput(predictions, f32(ped_msgs), f32(obs_msgs),
+                           f32(coll_pred))
 
 
 def apply_collision_rules(predictions, ped_features, self_features,
@@ -314,19 +329,19 @@ class BaseTest(nn.Module):
         # The reference also runs the NN branches and *adds* them; Base_test
         # keeps them (model.py:1581-1606) — reproduce faithfully.
         act = activation_fn(s.activation)
-        ped_emb = MLP(s.enc_units, name="ped_encoder")(ped_features)
+        ped_emb = MLP(s.enc_units, dtype=s.nn_dtype, name="ped_encoder")(ped_features)
         ped_emb = ResDNN(s.proc_units, act, s.dropout, s.resdnn_chain,
-                         name="ped_processor")(ped_emb, deterministic)
+                         dtype=s.nn_dtype, name="ped_processor")(ped_emb, deterministic)
         pooled = jnp.sum(ped_emb, axis=-2)
-        pooled = MLP(s.dec_units, name="ped_decoder")(pooled)
-        pred_acc_ped = MLP((2,), name="ped_predictor")(pooled)
+        pooled = MLP(s.dec_units, dtype=s.nn_dtype, name="ped_decoder")(pooled)
+        pred_acc_ped = MLP((2,), dtype=s.nn_dtype, name="ped_predictor")(pooled)
         if s.obs_feature_dim > 0:
-            obs_emb = MLP(s.enc_units, name="obs_encoder")(obs_features)
+            obs_emb = MLP(s.enc_units, dtype=s.nn_dtype, name="obs_encoder")(obs_features)
             obs_emb = ResDNN(s.proc_units, act, s.dropout, s.resdnn_chain,
-                             name="obs_processor")(obs_emb, deterministic)
+                             dtype=s.nn_dtype, name="obs_processor")(obs_emb, deterministic)
             pooled = jnp.sum(obs_emb, axis=-2)
-            pooled = MLP(s.dec_units, name="obs_decoder")(pooled)
-            pred_acc_ped = pred_acc_ped + MLP((2,), name="obs_predictor")(pooled)
+            pooled = MLP(s.dec_units, dtype=s.nn_dtype, name="obs_decoder")(pooled)
+            pred_acc_ped = pred_acc_ped + MLP((2,), dtype=s.nn_dtype, name="obs_predictor")(pooled)
         predictions = pred_acc_ped + pred_acc_dest
         return ModelOutput(predictions, pred_acc_dest)
 
@@ -369,9 +384,9 @@ class BaseSim(nn.Module):
             dist = jnp.linalg.norm(ped_features[..., :2], axis=-1, keepdims=True)
             ped_features = jnp.concatenate([dist, ped_features], axis=-1)
 
-        ped_emb = MLP(s.enc_units, name="ped_encoder")(ped_features)
+        ped_emb = MLP(s.enc_units, dtype=s.nn_dtype, name="ped_encoder")(ped_features)
         if s.obs_feature_dim > 0:
-            obs_emb = MLP(s.enc_units, name="obs_encoder")(obs_features)
+            obs_emb = MLP(s.enc_units, dtype=s.nn_dtype, name="obs_encoder")(obs_features)
             ped_emb = jnp.concatenate([ped_emb, obs_emb], axis=-2)
 
         # ---- self embedding ----------------------------------------------
@@ -422,7 +437,7 @@ class BaseSim(nn.Module):
                               name="self_processor")(self_emb, deterministic)
             pooled = jnp.concatenate([jnp.sum(ped_emb, axis=-2), self_emb], axis=-1)
 
-        pooled = MLP(s.dec_units, name="ped_decoder")(pooled)
+        pooled = MLP(s.dec_units, dtype=s.nn_dtype, name="ped_decoder")(pooled)
         if self.corrector:
             cor_units = tuple((s.decoder_hidden_size, s.decoder_hidden_size)
                               for _ in range(s.correction_hidden_layers))

@@ -40,6 +40,11 @@ class NeighborConfig(NamedTuple):
     streaming kernel (piml_tpu.ops.pairwise) when the call is single-frame
     (rank-2) and the agent count is large — XLA's fused top_k re-sorts the
     whole (N, N) row per agent, which dominates the rollout step at GC scale.
+
+    ``topk_group``: when > 0 and the object axis exceeds it, run the exact
+    two-stage grouped top-k (:func:`grouped_top_k`) instead of one wide
+    ``lax.top_k`` — per-group sorts are O(log² group) deep instead of
+    O(log² M), a large win at GC scale (M ≈ 12.8k).  0 disables.
     """
 
     topk_ped: int = 6
@@ -49,6 +54,7 @@ class NeighborConfig(NamedTuple):
     dist_threshold_ped: float = 4.0
     dist_threshold_obs: float = 4.0
     use_pallas_topk: bool = False
+    topk_group: int = 512
 
 
 # ----------------------------------------------------------------------------
@@ -120,6 +126,35 @@ def _cosine_similarity(a: jax.Array, b: jax.Array, eps: float = 1e-8) -> jax.Arr
     return jnp.sum(a * b, axis=-1) / (na * nb)
 
 
+def grouped_top_k(dist: jax.Array, k: int, group: int
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Exact two-stage smallest-k over the last axis of ``dist``.
+
+    Stage 1 splits the M-wide row into groups of ``group`` lanes and takes
+    each group's top-k (sort depth O(log² group)); stage 2 merges the
+    G·k candidates (tiny).  Equivalent to ``lax.top_k(-dist, k)`` INCLUDING
+    tie order: within a group ``lax.top_k`` prefers the lowest index, and
+    the candidate array is group-major, so equal values keep global index
+    order through the merge.  At GC scale (M ≈ 12.8k) this replaces one
+    12.8k-wide per-row sort with 512-wide sorts — the rollout's top cost.
+
+    Returns ``(dist (..., k), idx (..., k))`` with ascending distance.
+    """
+    m = dist.shape[-1]
+    pad = (-m) % group
+    if pad:
+        dist = jnp.pad(dist, [(0, 0)] * (dist.ndim - 1) + [(0, pad)],
+                       constant_values=INF)
+    g = dist.shape[-1] // group
+    d = dist.reshape(dist.shape[:-1] + (g, group))
+    neg, idx = lax.top_k(-d, k)                      # ..., G, k
+    base = (jnp.arange(g, dtype=idx.dtype) * group)[:, None]
+    cand_v = neg.reshape(neg.shape[:-2] + (g * k,))
+    cand_i = (idx + base).reshape(idx.shape[:-2] + (g * k,))
+    neg2, j = lax.top_k(cand_v, k)
+    return -neg2, jnp.take_along_axis(cand_i, j, axis=-1)
+
+
 def nearby_in_sight(
     position: jax.Array,
     objects: jax.Array,
@@ -127,6 +162,7 @@ def nearby_in_sight(
     k: int,
     angle_threshold: float,
     same_objects: bool = False,
+    topk_group: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Indices/distances of the k closest objects inside the field of view.
 
@@ -186,6 +222,8 @@ def nearby_in_sight(
     # significant: zero-padded rows still pass the encoders and contribute
     # bias-derived messages to the sum-pool.
     k = min(k, objects.shape[-2])
+    if topk_group and objects.shape[-2] > 2 * topk_group and k <= topk_group:
+        return grouped_top_k(dist, k, topk_group)
     neg, idx = lax.top_k(-dist, k)  # ties resolved by lowest index, like stable sort
     return -neg, idx
 
@@ -270,7 +308,7 @@ def relative_features(
     else:
         ped_dist, ped_idx = nearby_in_sight(
             position, state_pad[..., :2], heading, k_ped, cfg.sight_angle_ped,
-            same_objects=True,
+            same_objects=True, topk_group=cfg.topk_group,
         )
     gathered = jnp.take_along_axis(
         state_pad,
@@ -290,7 +328,8 @@ def relative_features(
         obstacles_pad, position.shape[:-2] + obstacles_pad.shape
     )  # ..., M_pad, 2
     obs_dist, obs_idx = nearby_in_sight(
-        position, obs, heading, k_obs, cfg.sight_angle_obs
+        position, obs, heading, k_obs, cfg.sight_angle_obs,
+        topk_group=cfg.topk_group,
     )
     zeros = jnp.zeros_like(obs)
     obs_state = jnp.concatenate([obs, zeros, zeros], axis=-1)  # ..., M_pad, 6

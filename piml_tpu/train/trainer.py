@@ -444,12 +444,22 @@ class Trainer:
         opt_state = self.tx.init(params)
         state = TrainState(params, opt_state)
 
-        apply_fn = lambda p, pf, of, sf: self.model.apply(p, pf, of, sf)
+        # dropout is LIVE during the finetune rollout (the reference trains
+        # under model.train(), simulators.py:295); rng=None falls back to the
+        # deterministic forward used by validation/eval
+        def apply_fn(p, pf, of, sf, rng=None):
+            if rng is None or cfg.dropout <= 0:
+                return self.model.apply(p, pf, of, sf)
+            return self.model.apply(p, pf, of, sf, deterministic=False,
+                                    rngs={"dropout": rng})
+
+        stochastic = cfg.dropout > 0
 
         @jax.jit
-        def ft_step(params, opt_state, batch: ChanneledData):
+        def ft_step(params, opt_state, batch: ChanneledData, rng):
             def loss_fn(p):
-                out = training_rollout_loss(p, apply_fn, cfg, batch)
+                out = training_rollout_loss(
+                    p, apply_fn, cfg, batch, rng=rng if stochastic else None)
                 return out.loss, out
 
             (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -458,19 +468,22 @@ class Trainer:
             return params2, opt_state2, out
 
         @jax.jit
-        def ft_epoch(params, opt_state, stacked: ChanneledData):
+        def ft_epoch(params, opt_state, stacked: ChanneledData, epoch_key):
             """lax.scan over a same-shape stack of window batches: one
             dispatch + one host sync per group per epoch instead of per
             batch (the reference's per-batch loop is simulators.py:317-326;
             here the whole epoch is one XLA program)."""
+            n_batches = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+            keys = jax.random.split(epoch_key, n_batches)
 
-            def body(carry, batch):
+            def body(carry, xs):
+                batch, key = xs
                 params, opt_state = carry
-                params, opt_state, out = ft_step(params, opt_state, batch)
+                params, opt_state, out = ft_step(params, opt_state, batch, key)
                 return (params, opt_state), out
 
             (params, opt_state), outs = jax.lax.scan(
-                body, (params, opt_state), stacked
+                body, (params, opt_state), (stacked, keys)
             )
             return params, opt_state, jax.tree_util.tree_map(
                 lambda x: jnp.sum(x), outs
@@ -496,10 +509,17 @@ class Trainer:
 
         # group same-shape window batches into stacked scan inputs; batch
         # composition is fixed across epochs, matching the reference's
-        # loader-built-once batches (src/main.py:131, data_loader.py:41)
+        # loader-built-once batches (src/main.py:131, data_loader.py:41).
+        # meta_data is a static pytree field that differs per source scene
+        # (begin_frame etc.) — normalize it so same-shape batches from
+        # different scenes stack into one scan.
         groups: Dict[tuple, list] = {}
         for batch in train_batches:
-            groups.setdefault(tuple(batch.ped_features.shape), []).append(batch)
+            tu = batch.meta_data.get("time_unit", cfg.time_unit)
+            batch = batch.replace(meta_data={"time_unit": tu})
+            groups.setdefault(
+                tuple(batch.ped_features.shape) + (tu,), []
+            ).append(batch)
         stacks = [
             jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs)
             for bs in groups.values()
@@ -513,9 +533,13 @@ class Trainer:
             state.epoch = epoch
             log = dict(loss=0.0, mse=0.0, coll=0.0, hard=0.0, cp=0.0, reg=0.0,
                        coll_count=0.0, hard_count=0.0)
-            for stacked in stacks:
+            # epoch/stack-derived keys: a resumed run replays the identical
+            # dropout stream (same property as the pretrain loop)
+            ep_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
+            for si, stacked in enumerate(stacks):
                 state.params, state.opt_state, out = ft_epoch(
-                    state.params, state.opt_state, stacked
+                    state.params, state.opt_state, stacked,
+                    jax.random.fold_in(ep_key, si),
                 )
                 log["coll_count"] += float(out.collision_count)
                 log["hard_count"] += float(out.hard_collision_count)

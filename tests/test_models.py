@@ -155,3 +155,44 @@ def test_collision_rules_braking():
     out = apply_collision_rules(pred, ped, sf, 0.5, 0.08)
     # braking: x-acceleration must drop far below the raw prediction
     assert float(out[0, 0]) < float(pred[0, 0])
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    """compute_dtype='bfloat16' runs the NN branches on the bf16 path with
+    f32 params and f32 goal force; predictions stay close to full-f32 and
+    all outputs come back f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from piml_tpu.models import ModelSpec, build_model
+
+    rng = np.random.RandomState(0)
+    pf = jnp.asarray(rng.randn(32, 6, 6).astype(np.float32))
+    of = jnp.asarray(rng.randn(32, 10, 6).astype(np.float32))
+    sf = jnp.asarray(rng.randn(32, 7).astype(np.float32))
+
+    spec32 = ModelSpec(name="pinnsf_bm", dropout=0.0)
+    spec16 = ModelSpec(name="pinnsf_bm", dropout=0.0,
+                       compute_dtype="bfloat16")
+    m32, m16 = build_model(spec32), build_model(spec16)
+    params = m32.init(jax.random.PRNGKey(0), pf, of, sf)
+    # identical parameter trees: bf16 is a compute path, not a storage format
+    chex = jax.tree_util.tree_structure(params)
+    assert chex == jax.tree_util.tree_structure(
+        m16.init(jax.random.PRNGKey(0), pf, of, sf))
+
+    out32 = m32.apply(params, pf, of, sf)
+    out16 = m16.apply(params, pf, of, sf)
+    assert out16.pred_acc.dtype == jnp.float32
+    assert out16.coll_pred.dtype == jnp.float32
+    err = np.max(np.abs(np.asarray(out16.pred_acc - out32.pred_acc)))
+    scale = np.max(np.abs(np.asarray(out32.pred_acc)))
+    assert err < 0.03 * max(scale, 1.0), (err, scale)
+    # the goal-force term is exactly f32 in both: zero interaction inputs
+    out16z = m16.apply(params, jnp.zeros_like(pf), jnp.zeros_like(of), sf)
+    out32z = m32.apply(params, jnp.zeros_like(pf), jnp.zeros_like(of), sf)
+    bias16 = out16z.pred_acc - out32z.pred_acc
+    # NN bias paths may differ by bf16 rounding, but goal force contributes
+    # identically — difference must be tiny relative to the goal force itself
+    assert np.max(np.abs(np.asarray(bias16))) < 0.05

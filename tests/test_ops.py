@@ -44,3 +44,49 @@ def test_pallas_topk_self_exclusion(rng):
     rows = np.arange(40)[:, None]
     self_selected = (idx == rows) & np.isfinite(d)
     assert not self_selected.any()
+
+
+def test_grouped_top_k_exact_vs_lax_top_k(rng):
+    """Two-stage grouped top-k must equal one wide lax.top_k bit-for-bit,
+    including tie order (lowest index first) and +inf padding."""
+    from jax import lax
+
+    from piml_tpu.physics.features import grouped_top_k
+
+    d = rng.randn(37, 1100).astype(np.float32) ** 2
+    # inject ties within and across group boundaries, and inf runs
+    d[:, 100] = d[:, 5]
+    d[:, 512] = d[:, 5]
+    d[:, 600:640] = np.inf
+    d[3, :] = np.inf
+    gd, gi = grouped_top_k(jnp.asarray(d), 6, 256)
+    neg, ri = lax.top_k(-jnp.asarray(d), 6)
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(-neg))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+
+
+def test_grouped_top_k_all_equal_rows(rng):
+    from jax import lax
+
+    from piml_tpu.physics.features import grouped_top_k
+
+    d = np.zeros((8, 700), np.float32)
+    gd, gi = grouped_top_k(jnp.asarray(d), 4, 128)
+    neg, ri = lax.top_k(-jnp.asarray(d), 4)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(-neg))
+
+
+def test_nearby_in_sight_grouped_matches_plain(rng):
+    """relative-feature hot path: grouped selection == plain selection."""
+    n = 900
+    pos = rng.randn(n, 2).astype(np.float32) * 20
+    pos[rng.rand(n) < 0.2] = np.nan
+    vel = rng.randn(n, 2).astype(np.float32)
+    heading = heading_direction(jnp.asarray(vel)[None])[0]
+    d0, i0 = nearby_in_sight(jnp.asarray(pos), jnp.asarray(pos), heading, 6,
+                             90.0, same_objects=True, topk_group=0)
+    d1, i1 = nearby_in_sight(jnp.asarray(pos), jnp.asarray(pos), heading, 6,
+                             90.0, same_objects=True, topk_group=256)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))

@@ -47,7 +47,11 @@ def paper_cfg(epochs: int) -> PIMLConfig:
         collision_loss_version="v2",
         dropout=0.5, shuffle=True,
         save_dir=os.path.join(ROOT, "saved_model"),
-        compat_swapped_patience=False,  # sane patience mapping
+        # reference-shipped patience semantics (simulators.py:393 swaps the
+        # flags): pretrain early-stops on ft_patience(5)... but our pretrain
+        # already ran at patience 20 (a superset); finetune gets patience(20),
+        # which is what produced the paper's numbers
+        compat_swapped_patience=True,
     )
 
 
@@ -119,6 +123,16 @@ def main():
         params = load_pretrained(cfg, trainer, sample_pw)
     trainer.cfg = cfg
 
+    # ground truth's own collision counts on the test window — the
+    # calibration row in the paper's tables ("Real")
+    from piml_tpu.metrics.metrics import collision_count
+
+    gt_pos = real.test_data[0].position[cfg.skip_frames:]
+    results["gt_test"] = {
+        "collision": float(collision_count(gt_pos, 0.5)),
+        "hard_collision": float(collision_count(gt_pos, 0.25)),
+    }
+
     # pretrained model evaluated on the SAME real held-out window the
     # finetuned model is judged on (reference: test_multiple_rollouts)
     apply_fn = lambda p, pf, of, sf: trainer.model.apply(p, pf, of, sf)
@@ -174,6 +188,7 @@ def main():
 def write_results_md(results):
     pre, ft = results["pretrain_test"], results["finetune_test"]
     ptr, ftr = results.get("pretrain", {}), results.get("finetune", {})
+    gt = results.get("gt_test", {})
     with open(os.path.join(ROOT, "RESULTS.md"), "w") as f:
         f.write(f"""# RESULTS — GC experiment at paper budget (one TPU v5e chip)
 
@@ -192,6 +207,9 @@ epochs<=1000 with early stopping (patience 20 / 5), exactly the paper's.
 | MMD | {pre['mmd']:.6f} | {ft['mmd']:.6f} |
 | soft collisions | {pre['collision']:.0f} | {ft['collision']:.0f} |
 | hard collisions | {pre['hard_collision']:.0f} | {ft['hard_collision']:.0f} |
+
+Ground truth (the real window itself): {gt.get('collision', float('nan')):.0f} \
+soft / {gt.get('hard_collision', float('nan')):.0f} hard collisions.
 
 Pretrain: best val MSE {ptr.get('val_mse', float('nan')):.5f}, \
 {ptr.get('epochs_ran', '?')} epochs, {ptr.get('wall_s', 0):.0f} s.

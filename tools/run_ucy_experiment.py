@@ -42,7 +42,9 @@ def ucy_cfg(epochs: int) -> PIMLConfig:
         collision_loss_version="v2",
         dropout=0.5, shuffle=True,
         save_dir=os.path.join(ROOT, "saved_model"),
-        compat_swapped_patience=False,
+        # reference-shipped swapped-patience semantics (simulators.py:393):
+        # pretrain early-stops on patience_finetune(5), finetune on patience(25)
+        compat_swapped_patience=True,
     )
 
 
