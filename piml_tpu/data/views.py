@@ -10,6 +10,7 @@ shapes (done once, offline).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -131,8 +132,75 @@ def _relative_features_chunked(scene: Scene, ncfg: NeighborConfig,
     return unchunk(ped_f), unchunk(obs_f), unchunk(dest_f)
 
 
+_CACHE_FIELDS = (
+    "ped_features", "obs_features", "self_features", "labels",
+    "mask_p", "mask_v", "mask_a", "mask_p_pred", "mask_v_pred", "mask_a_pred",
+    "abnormal_mask", "position", "velocity", "acceleration", "destination",
+    "dest_idx", "dest_num", "waypoints", "obstacles", "desired_speed",
+)
+
+
+def _feature_cache_dir() -> Optional[str]:
+    """On-disk cache for built feature views.  The O(T·N²) feature pass over
+    a GC scene costs minutes; its output is a pure function of the scene
+    content and a handful of config knobs, so experiment reruns (stage
+    resume, ablations, SR extraction) hit the cache instead.  Disable with
+    ``PIML_FEATURE_CACHE=0``; point elsewhere by setting it to a path."""
+    v = os.environ.get("PIML_FEATURE_CACHE", "")
+    if v == "0":
+        return None
+    if v:
+        return v
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, ".feature_cache")
+
+
+def _feature_cache_key(cfg: PIMLConfig, scene: Scene, polar: bool) -> str:
+    import hashlib
+    import json as _json
+
+    h = hashlib.sha1()
+    for arr in (scene.position, scene.velocity, scene.acceleration,
+                scene.destination, scene.dest_idx, scene.dest_num,
+                scene.waypoints, scene.obstacles):
+        h.update(np.asarray(arr).tobytes())
+    h.update(_json.dumps(scene.meta_data, sort_keys=True, default=str).encode())
+    ncfg = neighbor_config(cfg)
+    h.update(repr((
+        "v1", polar, cfg.skip_frames, cfg.num_history_velocity,
+        ncfg.topk_ped, ncfg.topk_obs, ncfg.sight_angle_ped,
+        ncfg.sight_angle_obs, ncfg.dist_threshold_ped, ncfg.dist_threshold_obs,
+    )).encode())
+    return h.hexdigest()
+
+
 def make_time_indexed(cfg: PIMLConfig, scene: Scene, polar: bool = False,
                       time_chunk: int = 0) -> TimeIndexedData:
+    """Cached build of the supervised frame-keyed view; see
+    :func:`_build_time_indexed` for the actual feature pass."""
+    cache_dir = _feature_cache_dir()
+    if cache_dir is None:
+        return _build_time_indexed(cfg, scene, polar, time_chunk)
+    import json as _json
+
+    path = os.path.join(cache_dir, _feature_cache_key(cfg, scene, polar) + ".npz")
+    if os.path.exists(path):
+        with np.load(path, allow_pickle=False) as z:
+            fields = {k: jnp.asarray(z[k]) for k in _CACHE_FIELDS}
+            meta = _json.loads(str(z["meta_json"]))
+        return TimeIndexedData(meta_data=meta, **fields)
+    data = _build_time_indexed(cfg, scene, polar, time_chunk)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".{os.getpid()}.tmp.npz"  # atomic publish via rename
+    np.savez(tmp, meta_json=_json.dumps(data.meta_data, default=str),
+             **{k: np.asarray(getattr(data, k)) for k in _CACHE_FIELDS})
+    os.replace(tmp, path)
+    return data
+
+
+def _build_time_indexed(cfg: PIMLConfig, scene: Scene, polar: bool = False,
+                        time_chunk: int = 0) -> TimeIndexedData:
     """Build the supervised frame-keyed view (reference: data.py:746-834).
 
     ``time_chunk > 0`` bounds peak memory of the O(T·N²) feature pass; it is

@@ -4,6 +4,7 @@ exercised without TPU hardware (the driver separately dry-runs multichip)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force off any ambient TPU platform
+os.environ["PIML_FEATURE_CACHE"] = "0"  # tests always rebuild features
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -119,3 +119,32 @@ def test_only_training_dataset(tmp_path, toy_path):
     ft.build_dataset(_cfg(finetune_flag=True))
     assert isinstance(ft.valid_data, list)  # channeled windows when finetuning
     assert ft.valid_data[0].num_channels >= 1
+
+
+def test_feature_cache_roundtrip(tmp_path, monkeypatch):
+    """Cached make_time_indexed returns bit-identical views and hits disk."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from piml_tpu.config import PIMLConfig
+    from piml_tpu.data.views import _CACHE_FIELDS, make_time_indexed
+    from piml_tpu.scene import Scene
+
+    monkeypatch.setenv("PIML_FEATURE_CACHE", str(tmp_path))
+    cfg = PIMLConfig(skip_frames=5)
+    scene = Scene.load("/root/reference/data/GC_Dataset/GC_Dataset_toy1.npy")
+    a = make_time_indexed(cfg, scene)
+    files = os.listdir(tmp_path)
+    assert len(files) == 1 and files[0].endswith(".npz")
+    b = make_time_indexed(cfg, scene)  # cache hit
+    for k in _CACHE_FIELDS:
+        np.testing.assert_array_equal(np.asarray(getattr(a, k)),
+                                      np.asarray(getattr(b, k)))
+    assert a.meta_data["time_unit"] == b.meta_data["time_unit"]
+
+    # different neighbor params -> different cache entry
+    cfg2 = cfg.replace(topk_ped=4)
+    make_time_indexed(cfg2, scene)
+    assert len(os.listdir(tmp_path)) == 2

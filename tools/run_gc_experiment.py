@@ -95,14 +95,32 @@ def load_pretrained(cfg, trainer, sample):
 def main():
     import argparse
 
+    global STATE
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
                     choices=["all", "pretrain", "finetune", "evaluate"])
     ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="override any PIMLConfig field (for ablations)")
+    ap.add_argument("--state", default=STATE,
+                    help="results JSON path (ablations write elsewhere)")
     cli = ap.parse_args()
+    STATE = cli.state
     t_all = time.time()
     logger = MetricLogger(jsonl_path=os.path.join(ROOT, "gc_experiment.jsonl"))
     cfg = paper_cfg(cli.epochs)
+    if cli.set:
+        import dataclasses as _dc
+
+        fields = {f.name: f for f in _dc.fields(type(cfg))}
+        overrides = {}
+        for kv in cli.set:
+            k, v = kv.split("=", 1)
+            d = fields[k].default
+            overrides[k] = (type(d)(v) if not isinstance(d, bool)
+                            else v.lower() in {"1", "true", "yes"})
+        cfg = cfg.replace(**overrides)
     results = _read_state()
 
     # ---- pretrain on synthetic simulations --------------------------------
@@ -181,8 +199,9 @@ def main():
     results["finetune_test"] = dict(vars(ft_metrics))
     results["total_wall_s"] = results.get("total_wall_s", 0) + time.time() - t_all
     _write_state(results)
-    write_results_md(results)
-    logger.info("wrote RESULTS.md")
+    if STATE == os.path.join(ROOT, "gc_experiment.json"):  # not an ablation
+        write_results_md(results)
+        logger.info("wrote RESULTS.md")
 
 
 def write_results_md(results):

@@ -1,17 +1,23 @@
 """Symbolic regression on the trained GC model.
 
 The reference's discovery pipeline (src/symbolic_regression.py): load the
-finetuned pinnsf_bm checkpoint, run it over real pointwise data, extract the
+finetuned pinnsf_bm checkpoint, run it over real pointwise data
+(data_symbolic.yaml — real GC windows 2224-2284 + 2344-2404), extract the
 per-edge 2-D force messages, convert pair features to heading-aligned polar,
-rebalance, and fit the force law.  PySR is unavailable in this container, so
-the closed-form log-linear fit of the discovered family
-``A·exp(B·r + C·cosθ + D·r·cosθ)`` (sr/fit.py) stands in; the paper's GC fit
-was A=7.55, B=−3.00, C=0.2, D=−0.3 (src/main_mlapm.py:16).
+rebalance, and fit the force law.  Two fits run:
 
-Appends the fit to RESULTS.md.
+- the closed-form log-linear fit of the discovered family
+  ``A·exp(B·r + C·cosθ + D·r·cosθ)`` (sr/fit.py; the family the reference's
+  PySR runs converged to — paper GC fit A=7.55, B=−3.00, C=0.2, D=−0.3,
+  src/main_mlapm.py:16), and
+- the free-form search (PySR when installed; the native GP engine
+  otherwise — same operators + * exp cos, reference
+  symbolic_regression.py:38-52).
+
+Writes sr_gc.json and appends the fit to RESULTS.md.
 """
 
-import glob
+import json
 import os
 import sys
 
@@ -30,29 +36,35 @@ from piml_tpu.sr import (
     fit_force_law,
     post_filter,
     prepare_symbolic_regression_data,
+    symbolic_regression,
 )
-from piml_tpu.train import load_params
+from piml_tpu.train import checkpoint_path, load_params
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp_name", default="piml-gc-paper")
+    ap.add_argument("--suffix", default="paper0")
+    ap.add_argument("--finetuned", type=int, default=1)
+    ap.add_argument("--gp", type=int, default=1,
+                    help="also run the free-form GP/PySR search")
+    cli = ap.parse_args()
+
     cfg = PIMLConfig(
-        exp_name="piml-gc", model="pinnsf_bm", dataset_name="gc2344",
-        skip_frames=25, dropout=0.5,
+        exp_name=cli.exp_name, model="pinnsf_bm", dataset_name="gc2344",
+        model_name_suffix=cli.suffix, skip_frames=25, dropout=0.5,
         save_dir=os.path.join(ROOT, "saved_model"),
     )
-    # pick the newest finetuned checkpoint from the GC experiment
-    ckpts = sorted(
-        glob.glob(os.path.join(cfg.save_dir, "piml-gc_*_finetuned")),
-        key=os.path.getmtime,
-    )
-    if not ckpts:
-        print("no finetuned checkpoint found — run tools/run_gc_experiment.py")
+    ckpt = checkpoint_path(cfg, finetuned=bool(cli.finetuned))
+    if not os.path.exists(ckpt):
+        print(f"checkpoint {ckpt} not found — run tools/run_gc_experiment.py")
         return 1
-    ckpt = ckpts[-1]
     print(f"using checkpoint {ckpt}")
 
     ds = PointwiseDataset()
-    ds.load_data(os.path.join(ROOT, "configs/data_configs/gc_finetune.yaml"))
+    ds.load_data(os.path.join(ROOT, "configs/data_configs/gc_symbolic.yaml"))
     cfg = ds.build_dataset(cfg)
 
     model = build_model(ModelSpec.from_config(cfg))
@@ -77,18 +89,40 @@ def main():
     print(f"magnitude fit: A={fit.A:.3f} B={fit.B:.3f} C={fit.C:.3f} "
           f"D={fit.D:.3f} (r²={fit.r2:.3f} in log space)")
 
+    gp_row = None
+    if cli.gp:
+        gp = symbolic_regression(feats_f, mag_f, seed=cfg.seed)
+        best = gp.best()
+        gp_row = {"expression": best.expression, "loss": float(best.loss),
+                  "complexity": int(best.complexity)}
+        print(f"GP best: {best.expression} (mse {best.loss:.5f})")
+        for e in gp.equations_:
+            print(f"  c={e.complexity:<3d} loss={e.loss:.5f}  {e.expression}")
+
     feats_d, direction = direction_filter(features, labels, percentile=75)
     mean_bias_deg = float(np.rad2deg(np.mean(np.abs(
         direction - feats_d[:, 1]  # θ_F − θ_r
     ))))
     print(f"direction bias |θ_F − θ_r| mean: {mean_bias_deg:.1f}°")
 
+    out = {
+        "checkpoint": ckpt, "edges": int(features.shape[0]),
+        "family_fit": {"A": fit.A, "B": fit.B, "C": fit.C, "D": fit.D,
+                       "log_r2": fit.r2},
+        "gp_best": gp_row,
+        "direction_bias_deg": mean_bias_deg,
+        "paper": {"A": 7.55, "B": -3.0, "C": 0.2, "D": -0.3, "theta": 56},
+    }
+    with open(os.path.join(ROOT, "sr_gc.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
     with open(os.path.join(ROOT, "RESULTS.md"), "a") as f:
         f.write(f"""
 ## Symbolic regression on the trained model
 
-Extracted {features.shape[0]} per-edge force messages from the finetuned
-pinnsf_bm checkpoint on the real GC window, rebalanced
+Extracted {features.shape[0]} per-edge force messages from the
+{'finetuned' if cli.finetuned else 'pretrained'} pinnsf_bm checkpoint on the
+reference's SR extraction windows (data_symbolic.yaml), rebalanced
 (sr/extract.py::post_filter) and fitted the discovered family
 ``A·exp(B·r + C·cosθ + D·r·cosθ)``:
 
@@ -100,12 +134,14 @@ pinnsf_bm checkpoint on the real GC window, rebalanced
 | D | {fit.D:.3f} | −0.3 |
 | log-space r² | {fit.r2:.3f} | — |
 
+Free-form search (native GP, sr/gp.py — PySR needs Julia, unavailable here):
+`{gp_row['expression'] if gp_row else 'skipped'}`
+(mse {(gp_row['loss'] if gp_row else float('nan')):.5f}).
+
 Direction bias |θ_F − θ_r| (top-quartile forces): {mean_bias_deg:.1f}°
-(paper's fitted rotation: 56°).  Constants differ from the paper's as
-expected for a short round-1 training run; the pipeline (extraction →
-filtering → family fit → MLAPM constants) is the reference's closed loop.
+(paper's fitted rotation: 56°).
 """)
-    print("appended SR section to RESULTS.md")
+    print("appended SR section to RESULTS.md; wrote sr_gc.json")
     return 0
 
 
