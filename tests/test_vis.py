@@ -31,3 +31,24 @@ def test_compare_animation_builds(toy_path):
     ani = state_animation_compare(ax, scene, scene)
     assert ani is not None
     plt.close(fig)
+
+
+def test_animation_export_gif(tmp_path):
+    """Movie export smoke test: ffmpeg is absent in this container, so the
+    Pillow writer exports a GIF (same FuncAnimation.save path as the
+    reference's mp4 export, visualization.py:90-95)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import animation, pyplot as plt
+
+    from piml_tpu.scene import Scene
+    from piml_tpu.utils.vis import state_animation
+
+    scene = Scene.load("/root/reference/data/GC_Dataset/GC_Dataset_toy1.npy")
+    fig, ax = plt.subplots()
+    out = tmp_path / "toy.gif"
+    state_animation(ax, scene, movie_file=str(out),
+                    writer=animation.PillowWriter(fps=5))
+    plt.close(fig)
+    assert out.exists() and out.stat().st_size > 1000
