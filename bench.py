@@ -121,13 +121,21 @@ def bench_gc_window(roundtrip_s):
         data,
     )
 
-    run = jax.jit(
-        lambda p, d: jnp.nansum(
-            eval_rollout(p, apply_fn, ecfg, d, t_start).position
-        ),
-        static_argnames=(),
-    )
-    dt = _timed_scalar(run, params, sliced) - roundtrip_s
+    # The whole 250-frame rollout costs less than one tunnel round trip, so
+    # a single run is noise; scan REPS whole rollouts (params perturbed per
+    # rep to defeat CSE) inside ONE program with one host-synced scalar.
+    REPS = 20
+
+    @jax.jit
+    def run(p, d):
+        def body(c, _):
+            pp = jax.tree_util.tree_map(lambda x: x + c * 1e-12, p)
+            out = eval_rollout(pp, apply_fn, ecfg, d, t_start).position
+            return c + 1.0, jnp.nansum(out)
+        _, outs = jax.lax.scan(body, 0.0, None, length=REPS)
+        return jnp.sum(outs)
+
+    dt = (_timed_scalar(run, params, sliced) - roundtrip_s) / REPS
     dt = max(dt, 1e-6)
     n_slots = data.position.shape[1]
     return {

@@ -2,23 +2,32 @@
 
 The XLA path (physics.features.nearby_in_sight) materializes the (N, M)
 distance matrix and runs ``lax.top_k`` over it — at GC-dataset scale
-(N = 12,685 concurrent agents → 161 M pair distances) that matrix plus the
-sort dominates the rollout step.  This kernel streams column tiles of the
-objects through VMEM, maintaining a per-row running top-k, so HBM traffic is
-O(N) and nothing of size N·M is ever written.
+(N = 12,685 concurrent agents → 161 M pair distances) XLA's TopK custom
+lowering costs ~10 ms/frame for the agent pass and ~10 ms for the obstacle
+pass (tools/profile_stress.py trace).  This kernel streams column tiles of
+the objects through VMEM, maintaining a per-row running top-k, so HBM
+traffic is O(N) and nothing of size N·M is ever written.  Measured at
+N = 12,685 (one v5e chip): 3.8 ms vs 13.9 ms for the XLA agent pass —
+the tile size is decisive: the k-pass merge is amortized only when the
+column tile is wide (the round-1 default shrank tiles to divide N and made
+the merge dominate; columns are now padded up to the tile instead).
 
 Semantics match the reference FOV selection exactly
 (src/data/data.py:416-447; see physics.features.nearby_in_sight):
 
 - distance +inf for absent (invalid) endpoints;
-- FOV gate ``cos < cos(3.14·angle/180)`` with torch-style eps cosine;
+- FOV gate ``cos < cos(3.14·angle/180)`` with torch-style eps cosine —
+  evaluated multiplicatively (``rel·h < thr·dist``) so no divide runs on
+  the N·M grid;
 - self-pair pinned to (dist 0, cos 0) so the threshold alone decides;
-- ties broken by lowest object index (stable-sort order).
+- ties broken by lowest object index (stable-sort order);
+- candidates ordered by squared distance (monotone ⇒ identical selection),
+  one sqrt on the (N, k) output only.
 
-Layout: positions/headings/validity are packed lane-major as ``cols``
-(8, M): row 0 = x, 1 = y, 2 = hx, 3 = hy, 4 = valid; and sublane-major as
-``rows`` (N, 8) for the row block.  k is padded to the 128-lane tile in the
-outputs; callers slice ``[:, :k]``.
+Layout: object columns are packed lane-major as ``cols`` (8, M_pad): row
+0 = x, 1 = y, 2 = valid; agent rows sublane-major as ``rows`` (N_pad, 8) =
+[x, y, hx, hy, valid].  k is padded to the 128-lane tile in the outputs;
+callers slice ``[:, :k]``.
 """
 
 from __future__ import annotations
@@ -35,34 +44,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF = jnp.inf
 LANE = 128
+# Budget for one (tile_n, tile_m) f32 intermediate; Mosaic streams and
+# reuses the elementwise temporaries, so a single-buffer bound is the
+# right granularity (measured: (128, 12800) compiles and runs fast)
+VMEM_BUDGET = 4 * 2 ** 20
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pack_operands(position: jax.Array, heading: jax.Array):
-    """(N, 2) position/heading (+NaN absence) → (rows (N_pad, 8),
-    cols (8, M_pad), n_valid) padded to tile boundaries with invalid slots."""
+def pack_rows(position: jax.Array, heading: jax.Array, tile_n: int):
+    """(N, 2) agents → (N_pad, 8) sublane-major [x, y, hx, hy, valid]."""
     n = position.shape[0]
     valid = jnp.all(jnp.isfinite(position), axis=-1)
     pos = jnp.where(valid[:, None], position, 0.0)
     hd = jnp.where(jnp.isfinite(heading), heading, 0.0)
-
-    n_pad = _round_up(max(n, 8), LANE)
+    n_pad = _round_up(max(n, 8), tile_n)
     rows = jnp.zeros((n_pad, 8), jnp.float32)
     rows = rows.at[:n, 0].set(pos[:, 0])
     rows = rows.at[:n, 1].set(pos[:, 1])
     rows = rows.at[:n, 2].set(hd[:, 0])
     rows = rows.at[:n, 3].set(hd[:, 1])
     rows = rows.at[:n, 4].set(valid.astype(jnp.float32))
-    cols = rows.T.reshape(8, n_pad)
-    return rows, cols, n
+    return rows, n
+
+
+def pack_cols(objects: jax.Array, tile_m: int):
+    """(M, 2) objects → (8, M_pad) lane-major [x, y, valid] columns."""
+    m = objects.shape[0]
+    valid = jnp.all(jnp.isfinite(objects), axis=-1)
+    obj = jnp.where(valid[:, None], objects, 0.0)
+    m_pad = _round_up(max(m, LANE), tile_m)
+    cols = jnp.zeros((8, m_pad), jnp.float32)
+    cols = cols.at[0, :m].set(obj[:, 0])
+    cols = cols.at[1, :m].set(obj[:, 1])
+    cols = cols.at[2, :m].set(valid.astype(jnp.float32))
+    return cols, m
 
 
 def _kernel(rows_ref, cols_ref, out_d_ref, out_i_ref, *, tile_m: int,
             cos_thr: float, self_pairs: bool, k: int):
-    """One row-tile: stream all column tiles, keep running top-k."""
+    """One row-tile: stream all column tiles, keep running top-k (by d²)."""
     i = pl.program_id(0)
     tile_n = rows_ref.shape[0]
     m_total = cols_ref.shape[1]
@@ -107,29 +130,48 @@ def _kernel(rows_ref, cols_ref, out_d_ref, out_i_ref, *, tile_m: int,
         blk = cols_ref[:, pl.ds(start, tile_m)]                  # 8, tile_m
         xb = blk[0:1, :]
         yb = blk[1:2, :]
-        vb = blk[4:5, :]
+        vb = blk[2:3, :]
         dx = xb - xa                                             # tile_n, tile_m
         dy = yb - ya
-        dist = jnp.sqrt(dx * dx + dy * dy)
+        d2 = dx * dx + dy * dy
         rel_h = dx * hxa + dy * hya
-        cos = rel_h / jnp.maximum(dist, 1e-8)
         invalid = (va < 0.5) | (vb < 0.5)
         col_ids = start + jax.lax.broadcasted_iota(
             jnp.int32, (tile_n, tile_m), 1)
         if self_pairs:
             diag = col_ids == row_ids
-            dist = jnp.where(diag, 0.0, dist)
-            cos = jnp.where(diag, 0.0, cos)
-        dist = jnp.where(invalid | (cos < cos_thr), INF, dist)
-        return extract_topk(dist, col_ids, carry_d, carry_i)
+            d2 = jnp.where(diag, 0.0, d2)
+            rel_h = jnp.where(diag, 0.0, rel_h)
+        # FOV gate cos < thr, multiplicatively: cos = rel_h / max(dist, eps)
+        # (torch cosine eps semantics) ⇔ rel_h < thr · max(dist, eps) since
+        # the clamped norm is positive — exact, with no divide on the grid.
+        # The self-pair (rel_h = 0, dist clamped to eps) is excluded for
+        # thr > 0 (90° FOV: cos(3.14/2) ≈ +8e-4), matching the reference.
+        out_of_view = rel_h < cos_thr * jnp.maximum(jnp.sqrt(d2), 1e-8)
+        d2 = jnp.where(invalid | out_of_view, INF, d2)
+        return extract_topk(d2, col_ids, carry_d, carry_i)
 
     init = (jnp.full((tile_n, k), INF, jnp.float32),
             jnp.zeros((tile_n, k), jnp.int32))
-    top_d, top_i = lax.fori_loop(0, num_tiles, body, init)
+    top_d2, top_i = lax.fori_loop(0, num_tiles, body, init)
 
-    out_d_ref[:, :] = jnp.pad(top_d, ((0, 0), (0, LANE - k)),
+    out_d_ref[:, :] = jnp.pad(jnp.sqrt(top_d2), ((0, 0), (0, LANE - k)),
                               constant_values=INF)
     out_i_ref[:, :] = jnp.pad(top_i, ((0, 0), (0, LANE - k)))
+
+
+def _pick_tiles(n_pad_hint: int, m: int, tile_n: Optional[int],
+                tile_m: Optional[int]) -> Tuple[int, int]:
+    """Wide column tiles amortize the k-pass merge (measured: (64, 12800)
+    3.8 ms vs (256, 512) 28 ms at N = 12,685); shrink rows when a single
+    (tile_n, tile_m) f32 buffer would exceed the VMEM budget."""
+    if tile_m is None:
+        tile_m = _round_up(max(m, LANE), LANE)
+    if tile_n is None:
+        tile_n = 64
+        while tile_n > 8 and 4 * tile_n * tile_m > VMEM_BUDGET:
+            tile_n //= 2
+    return tile_n, tile_m
 
 
 @functools.partial(
@@ -142,26 +184,27 @@ def topk_neighbors_pallas(
     heading: jax.Array,
     k: int,
     angle_threshold: float,
+    objects: Optional[jax.Array] = None,
     same_objects: bool = True,
-    tile_n: int = 256,
-    tile_m: int = 2048,
+    tile_n: Optional[int] = None,
+    tile_m: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Top-k in-FOV neighbor (dist, idx) over one agent set.
+    """Top-k in-FOV neighbor (dist, idx) of ``position`` agents among
+    ``objects`` (defaults to the agents themselves).
 
-    position/heading: (N, 2); returns (dist (N, k), idx (N, k)).  Currently
-    supports the self-neighbor case (objects == agents), which is the rollout
-    hot path; obstacles use the XLA path (M is small after wall sampling).
+    position/heading: (N, 2); objects: (M, 2); returns (dist (N, k),
+    idx (N, k)) with ascending distance, +inf beyond view/validity.
     """
-    rows, cols, n = pack_operands(position, heading)
+    if objects is None:
+        objects = position
+        same_objects = True
+    m_real = objects.shape[0]
+    tile_n, tile_m = _pick_tiles(position.shape[0], m_real, tile_n, tile_m)
+    rows, n = pack_rows(position, heading, tile_n)
+    cols, _ = pack_cols(objects, tile_m)
     n_pad = rows.shape[0]
-    # n_pad is a multiple of 128; shrink tiles until they divide it exactly
-    tile_n = min(tile_n, n_pad)
-    while n_pad % tile_n:
-        tile_n //= 2
-    tile_m = min(tile_m, n_pad)
-    while n_pad % tile_m:
-        tile_m //= 2
+    m_pad = cols.shape[1]
     cos_thr = math.cos(3.14 * angle_threshold / 180.0)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -175,7 +218,7 @@ def topk_neighbors_pallas(
         in_specs=[
             pl.BlockSpec((tile_n, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((8, m_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -189,5 +232,5 @@ def topk_neighbors_pallas(
             jax.ShapeDtypeStruct((n_pad, LANE), jnp.int32),
         ),
     )(rows, cols)
-    k_eff = min(k, n)
+    k_eff = min(k, m_real)
     return out_d[:n, :k_eff], out_i[:n, :k_eff]

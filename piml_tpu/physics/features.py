@@ -43,8 +43,10 @@ class NeighborConfig(NamedTuple):
 
     ``topk_group``: when > 0 and the object axis exceeds it, run the exact
     two-stage grouped top-k (:func:`grouped_top_k`) instead of one wide
-    ``lax.top_k`` — per-group sorts are O(log² group) deep instead of
-    O(log² M), a large win at GC scale (M ≈ 12.8k).  0 disables.
+    ``lax.top_k``.  MEASURED SLOWER on TPU (default 0): XLA's 2-D TopK gets
+    an optimized custom lowering (~10 ms at 12685²) while the 3-D grouped
+    form falls back to generic sort (~92 ms) — see tools/profile_stress.py.
+    Kept as a documented, output-exact alternative.
     """
 
     topk_ped: int = 6
@@ -53,8 +55,8 @@ class NeighborConfig(NamedTuple):
     sight_angle_obs: float = 90.0
     dist_threshold_ped: float = 4.0
     dist_threshold_obs: float = 4.0
-    use_pallas_topk: bool = False
-    topk_group: int = 512
+    use_pallas_topk: bool = True   # size/backend-gated in relative_features
+    topk_group: int = 0
 
 
 # ----------------------------------------------------------------------------
@@ -297,7 +299,16 @@ def relative_features(
     state_pad, n_real = _pad_object_axis(state)
     k_ped = min(cfg.topk_ped, n_real)
 
-    if cfg.use_pallas_topk and position.ndim == 2:
+    # Route the O(N·M) selections through the Pallas streaming kernel on the
+    # single-frame TPU hot path once the pair grid is large enough for the
+    # launch overhead to pay off (crossover well below GC scale, where the
+    # kernel is 3.7× faster than XLA's TopK; see ops/pairwise.py).
+    use_pallas = (
+        cfg.use_pallas_topk and position.ndim == 2
+        and jax.default_backend() == "tpu"
+        and position.shape[0] * state_pad.shape[0] >= 2 ** 21
+    )
+    if use_pallas:
         from piml_tpu.ops.pairwise import topk_neighbors_pallas
 
         ped_dist, ped_idx = topk_neighbors_pallas(
@@ -327,10 +338,19 @@ def relative_features(
     obs = jnp.broadcast_to(
         obstacles_pad, position.shape[:-2] + obstacles_pad.shape
     )  # ..., M_pad, 2
-    obs_dist, obs_idx = nearby_in_sight(
-        position, obs, heading, k_obs, cfg.sight_angle_obs,
-        topk_group=cfg.topk_group,
-    )
+    if (use_pallas
+            and position.shape[0] * obstacles_pad.shape[0] >= 2 ** 21):
+        from piml_tpu.ops.pairwise import topk_neighbors_pallas
+
+        obs_dist, obs_idx = topk_neighbors_pallas(
+            position, heading, k_obs, cfg.sight_angle_obs,
+            objects=obstacles_pad, same_objects=False,
+        )
+    else:
+        obs_dist, obs_idx = nearby_in_sight(
+            position, obs, heading, k_obs, cfg.sight_angle_obs,
+            topk_group=cfg.topk_group,
+        )
     zeros = jnp.zeros_like(obs)
     obs_state = jnp.concatenate([obs, zeros, zeros], axis=-1)  # ..., M_pad, 6
     gathered_o = jnp.take_along_axis(

@@ -90,3 +90,31 @@ def test_nearby_in_sight_grouped_matches_plain(rng):
                              90.0, same_objects=True, topk_group=256)
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_pallas_topk_separate_objects_matches_xla(rng):
+    """Obstacle-table variant (objects != agents) vs the XLA path."""
+    n, m = 200, 300
+    pos = rng.randn(n, 2).astype(np.float32) * 10
+    obs = rng.randn(m, 2).astype(np.float32) * 10
+    obs[rng.rand(m) < 0.2] = np.nan
+    vel = rng.randn(n, 2).astype(np.float32)
+    heading = heading_direction(jnp.asarray(vel)[None])[0]
+    d_ref, i_ref = nearby_in_sight(jnp.asarray(pos), jnp.asarray(obs),
+                                   heading, 8, 90.0)
+    d_pal, i_pal = topk_neighbors_pallas(jnp.asarray(pos), heading, 8, 90.0,
+                                         objects=jnp.asarray(obs),
+                                         same_objects=False)
+    d_ref, i_ref = np.asarray(d_ref), np.asarray(i_ref)
+    d_pal, i_pal = np.asarray(d_pal), np.asarray(i_pal)
+    finite = np.isfinite(d_ref)
+    assert (np.isfinite(d_pal) == finite).all()
+    # the kernel differences coordinates directly; the XLA path uses the
+    # |a|²+|b|²−2ab matmul trick whose cancellation costs ~1e-4 absolute
+    np.testing.assert_allclose(d_pal[finite], d_ref[finite], rtol=1e-4,
+                               atol=2e-4)
+    # index agreement wherever the reference distance has no near-tie
+    gap = np.abs(np.diff(d_ref, axis=1))
+    clear = finite[:, :-1] & finite[:, 1:] & (gap > 1e-4)
+    same = i_pal[:, :-1][clear] == i_ref[:, :-1][clear]
+    assert same.mean() > 0.999

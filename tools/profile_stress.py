@@ -79,7 +79,12 @@ def summarize_trace(trace_dir: str, frames: int):
         pname = pid_names.get(ev.get("pid"), "")
         if "TPU" not in pname and "/device" not in pname.lower():
             continue
-        op_time[ev.get("name", "?")] += ev.get("dur", 0.0)
+        args = ev.get("args", {}) or {}
+        label = ev.get("name", "?")
+        src = args.get("tf_op") or args.get("long_name") or ""
+        if src:
+            label = f"{label}  [{str(src)[:80]}]"
+        op_time[label] += ev.get("dur", 0.0)
     total = sum(op_time.values())
     print(f"\ndevice ops total {total/1e3:.2f} ms over {frames} frames "
           f"({total/1e3/frames:.3f} ms/frame)")
