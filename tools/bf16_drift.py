@@ -81,13 +81,26 @@ def run(compute_dtype: str, params=None):
 
     roll = jax.jit(lambda p, d: eval_rollout(p, apply_fn, ecfg, d,
                                              t_start).position)
-    out = roll(params, sliced)
-    out.block_until_ready()
+    out = np.asarray(roll(params, sliced))
+
+    # timing: scan REPS whole rollouts into one host-synced scalar (a single
+    # rollout costs less than the tunnel round trip)
+    REPS = 20
+
+    @jax.jit
+    def timed(p, d):
+        def body(c, _):
+            pp = jax.tree_util.tree_map(lambda x: x + c * 1e-12, p)
+            return c + 1.0, jnp.nansum(
+                eval_rollout(pp, apply_fn, ecfg, d, t_start).position)
+        _, outs = jax.lax.scan(body, 0.0, None, length=REPS)
+        return jnp.sum(outs)
+
+    float(timed(params, sliced))  # compile
     t0 = time.perf_counter()
-    out = roll(params, sliced)
-    jnp.nansum(out).block_until_ready()
-    dt = time.perf_counter() - t0
-    return params, np.asarray(out), dt, window
+    float(timed(params, sliced))
+    dt = (time.perf_counter() - t0) / REPS
+    return params, out, dt, window
 
 
 def main():
