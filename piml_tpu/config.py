@@ -110,6 +110,17 @@ class PIMLConfig:
     ft_lr_decay2: float = 0.0          # corrector-branch LR multiplier (pinnsf_res / base)
     # The reference swaps patience/ft_patience inside train() (simulators.py:393).
     compat_swapped_patience: bool = True
+    # The reference's PRETRAIN path adds the BCE collision-prediction loss
+    # UNWEIGHTED (simulators.py:350-354 — collision_pred_weight only gates
+    # it there, unlike the finetune path which multiplies).  The unscaled
+    # sum-BCE dwarfs the message-supervision MSE ~30×, which is why
+    # `pinnsf_interaction='loss'` runs underfit their messages.  False
+    # applies the weight (the evident intent).
+    compat_unweighted_coll_pred: bool = True
+    # Validate pretrain on the full training objective instead of the
+    # reference's plain acceleration MSE (simulators.py:430-441) — the
+    # acc-MSE is a misaligned stopping signal for message-supervised runs.
+    val_on_train_objective: bool = False
 
     # ----- rollout training (src/main.py:78-96) -----
     valid_steps: int = 5

@@ -23,6 +23,7 @@ from piml_tpu.models import MLAPMParams
 from piml_tpu.sr import (
     direction_filter,
     fit_force_law,
+    fit_force_law_mse,
     post_filter,
     prepare_symbolic_regression_data,
 )
@@ -74,7 +75,10 @@ def run_iteration(
     feats_f, mag_f = post_filter(
         np.stack([r, cos], 1), magnitude, seed=cfg.seed
     )
-    fit = fit_force_law(feats_f[:, 0], feats_f[:, 1], mag_f)
+    # log-linear seed → robust direct-MSE fit (the log fit is floored by
+    # small-magnitude edges; see sr/fit.py::fit_force_law_mse)
+    seed_fit = fit_force_law(feats_f[:, 0], feats_f[:, 1], mag_f)
+    fit = fit_force_law_mse(feats_f[:, 0], feats_f[:, 1], mag_f, init=seed_fit)
     logger.log(fit_A=fit.A, fit_B=fit.B, fit_C=fit.C, fit_D=fit.D, fit_r2=fit.r2)
 
     gp_expr, gp_loss = None, None

@@ -8,6 +8,7 @@ from piml_tpu.sr.fit import (  # noqa: F401
     ForceLawFit,
     HAVE_PYSR,
     fit_force_law,
+    fit_force_law_mse,
     symbolic_regression,
 )
 from piml_tpu.sr.gp import (  # noqa: F401

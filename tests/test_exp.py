@@ -120,8 +120,11 @@ def test_piml_iteration_driver(tmp_path, toy_paths):
     from piml_tpu.utils import MetricLogger
 
     data_cfg = tmp_path / "data.yaml"
+    # toy3 is the only toy window with in-threshold neighbor pairs (toy1/2
+    # agents never come within 4 m, so their edge rows are all zeroed and
+    # the padding-free extraction is rightly empty)
     data_cfg.write_text(yaml.safe_dump({
-        "train": [toy_paths[0]], "valid": [toy_paths[1]],
+        "train": [toy_paths[2]], "valid": [toy_paths[1]],
     }))
     cfg = PIMLConfig(
         model="pinnsf_bm", epochs=1, batch_size=16, skip_frames=5,

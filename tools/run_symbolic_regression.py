@@ -34,6 +34,7 @@ from piml_tpu.models import ModelSpec, build_model
 from piml_tpu.sr import (
     direction_filter,
     fit_force_law,
+    fit_force_law_mse,
     post_filter,
     prepare_symbolic_regression_data,
     symbolic_regression,
@@ -50,6 +51,8 @@ def main():
     ap.add_argument("--finetuned", type=int, default=1)
     ap.add_argument("--gp", type=int, default=1,
                     help="also run the free-form GP/PySR search")
+    ap.add_argument("--data", default="gc_symbolic",
+                    help="data config name under configs/data_configs/")
     cli = ap.parse_args()
 
     cfg = PIMLConfig(
@@ -64,7 +67,7 @@ def main():
     print(f"using checkpoint {ckpt}")
 
     ds = PointwiseDataset()
-    ds.load_data(os.path.join(ROOT, "configs/data_configs/gc_symbolic.yaml"))
+    ds.load_data(os.path.join(ROOT, f"configs/data_configs/{cli.data}.yaml"))
     cfg = ds.build_dataset(cfg)
 
     model = build_model(ModelSpec.from_config(cfg))
@@ -85,9 +88,14 @@ def main():
     cos = np.cos(features[:, 1] - features[:, 3])
     mag = labels[:, 0]
     feats_f, mag_f = post_filter(np.stack([r, cos], 1), mag, seed=cfg.seed)
-    fit = fit_force_law(feats_f[:, 0], feats_f[:, 1], mag_f)
+    log_fit = fit_force_law(feats_f[:, 0], feats_f[:, 1], mag_f)
+    print(f"log-linear fit: A={log_fit.A:.3f} B={log_fit.B:.3f} "
+          f"C={log_fit.C:.3f} D={log_fit.D:.3f} (log r²={log_fit.r2:.3f})")
+    # the robust fit: direct MSE on magnitudes (the objective PySR uses) —
+    # the log fit is floored by near-zero far-pair forces (sr/fit.py)
+    fit = fit_force_law_mse(feats_f[:, 0], feats_f[:, 1], mag_f, init=log_fit)
     print(f"magnitude fit: A={fit.A:.3f} B={fit.B:.3f} C={fit.C:.3f} "
-          f"D={fit.D:.3f} (r²={fit.r2:.3f} in log space)")
+          f"D={fit.D:.3f} (linear r²={fit.r2:.3f})")
 
     gp_row = None
     if cli.gp:
@@ -108,7 +116,9 @@ def main():
     out = {
         "checkpoint": ckpt, "edges": int(features.shape[0]),
         "family_fit": {"A": fit.A, "B": fit.B, "C": fit.C, "D": fit.D,
-                       "log_r2": fit.r2},
+                       "linear_r2": fit.r2},
+        "log_fit": {"A": log_fit.A, "B": log_fit.B, "C": log_fit.C,
+                    "D": log_fit.D, "log_r2": log_fit.r2},
         "gp_best": gp_row,
         "direction_bias_deg": mean_bias_deg,
         "paper": {"A": 7.55, "B": -3.0, "C": 0.2, "D": -0.3, "theta": 56},
@@ -132,7 +142,7 @@ reference's SR extraction windows (data_symbolic.yaml), rebalanced
 | B | {fit.B:.3f} | −3.00 |
 | C | {fit.C:.3f} | 0.2 |
 | D | {fit.D:.3f} | −0.3 |
-| log-space r² | {fit.r2:.3f} | — |
+| linear r² | {fit.r2:.3f} | — |
 
 Free-form search (native GP, sr/gp.py — PySR needs Julia, unavailable here):
 `{gp_row['expression'] if gp_row else 'skipped'}`
