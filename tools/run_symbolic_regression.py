@@ -107,11 +107,23 @@ def main():
         for e in gp.equations_:
             print(f"  c={e.complexity:<3d} loss={e.loss:.5f}  {e.expression}")
 
+    # direction law: the discovered family is anti-radial repulsion rotated
+    # by a fitted bias (MLAPM's theta, mlapm.py:33-38).  Compare the GLOBAL
+    # force angle theta_F with the GLOBAL relative-position angle theta_r2
+    # (features[:,4]) — both in the same frame — as a circular statistic,
+    # folding out the radial-axis sign convention.
     feats_d, direction = direction_filter(features, labels, percentile=75)
-    mean_bias_deg = float(np.rad2deg(np.mean(np.abs(
-        direction - feats_d[:, 1]  # θ_F − θ_r
-    ))))
-    print(f"direction bias |θ_F − θ_r| mean: {mean_bias_deg:.1f}°")
+    diff = direction - (feats_d[:, 4] + np.pi)
+    diff = (diff + np.pi) % (2 * np.pi) - np.pi
+    z = np.mean(np.exp(1j * diff)) if diff.size else 0.0
+    circ_mean = float(np.angle(z))
+    rotation = circ_mean - np.sign(circ_mean) * np.pi \
+        if abs(circ_mean) > np.pi / 2 else circ_mean
+    mean_bias_deg = float(np.rad2deg(rotation))
+    circ_std_deg = float(np.rad2deg(np.sqrt(-2 * np.log(max(abs(z), 1e-12))))) \
+        if diff.size else float("nan")
+    print(f"direction rotation bias: {mean_bias_deg:.2f}° "
+          f"(circ-std {circ_std_deg:.1f}°)")
 
     out = {
         "checkpoint": ckpt, "edges": int(features.shape[0]),
@@ -120,7 +132,8 @@ def main():
         "log_fit": {"A": log_fit.A, "B": log_fit.B, "C": log_fit.C,
                     "D": log_fit.D, "log_r2": log_fit.r2},
         "gp_best": gp_row,
-        "direction_bias_deg": mean_bias_deg,
+        "direction_rotation_deg": mean_bias_deg,
+        "direction_circ_std_deg": circ_std_deg,
         "paper": {"A": 7.55, "B": -3.0, "C": 0.2, "D": -0.3, "theta": 56},
     }
     with open(os.path.join(ROOT, "sr_gc.json"), "w") as f:
@@ -148,8 +161,9 @@ Free-form search (native GP, sr/gp.py — PySR needs Julia, unavailable here):
 `{gp_row['expression'] if gp_row else 'skipped'}`
 (mse {(gp_row['loss'] if gp_row else float('nan')):.5f}).
 
-Direction bias |θ_F − θ_r| (top-quartile forces): {mean_bias_deg:.1f}°
-(paper's fitted rotation: 56°).
+Direction law (top-quartile forces): anti-radial repulsion rotated by
+{mean_bias_deg:.2f}° (circular std {circ_std_deg:.1f}°; the v2 supervision
+rotates by 10°, the paper's GC fit by 56°).
 """)
     print("appended SR section to RESULTS.md; wrote sr_gc.json")
     return 0
