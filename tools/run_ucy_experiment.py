@@ -55,11 +55,25 @@ def main():
     ap.add_argument("--stage", default="all",
                     choices=["all", "pretrain", "finetune", "evaluate"])
     ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="override any PIMLConfig field (for ablations)")
+    ap.add_argument("--state", default=STATE)
     cli = ap.parse_args()
     logger = MetricLogger(jsonl_path=os.path.join(ROOT, "ucy_experiment.jsonl"))
-    results = run_staged_experiment(ucy_cfg(cli.epochs), cli.stage, STATE,
-                                    logger)
-    if "finetune_test" in results:
+    cfg = ucy_cfg(cli.epochs)
+    if cli.set:
+        import dataclasses as _dc
+
+        fields = {f.name: f for f in _dc.fields(type(cfg))}
+        overrides = {}
+        for kv in cli.set:
+            k, v = kv.split("=", 1)
+            d = fields[k].default
+            overrides[k] = (type(d)(v) if not isinstance(d, bool)
+                            else v.lower() in {"1", "true", "yes"})
+        cfg = cfg.replace(**overrides)
+    results = run_staged_experiment(cfg, cli.stage, cli.state, logger)
+    if "finetune_test" in results and cli.state == STATE:
         with open(os.path.join(ROOT, "RESULTS_UCY.md"), "w") as f:
             f.write(
                 "# RESULTS — UCY experiment (one TPU v5e chip)\n\n"
