@@ -179,3 +179,50 @@ def test_optimizer_groups_for_corrector(tmp_path):
     # corrector group LR multiplier is 0 → zero update; pretrained moves
     assert float(jnp.abs(updates["params"]["corrector_head"]["w"]).max()) == 0.0
     assert float(jnp.abs(updates["params"]["ped_encoder"]["w"]).max()) > 0.0
+
+
+def test_message_supervision_flags(tmp_path, toy_paths):
+    """pinnsf_interaction='loss' with the weighted-BCE fix and aligned
+    validation: training runs and the message objective improves."""
+    import yaml
+
+    from piml_tpu.data import PointwiseDataset
+    from piml_tpu.train import Trainer
+    from piml_tpu.utils import MetricLogger
+
+    data_cfg = tmp_path / "d.yaml"
+    data_cfg.write_text(yaml.safe_dump({
+        "train": [toy_paths[2]], "valid": [toy_paths[2]],
+    }))
+    cfg = PIMLConfig(
+        model="pinnsf_bm", epochs=6, batch_size=16, skip_frames=5,
+        dropout=0.0, encoder_hidden_size=16, encoder_hidden_layers=2,
+        processor_hidden_size=16, processor_hidden_layers=2,
+        decoder_hidden_size=8, decoder_hidden_layers=2,
+        pinnsf_interaction="loss", iter_flag=False,
+        collision_pred_weight=0.05, compat_unweighted_coll_pred=False,
+        val_on_train_objective=True, patience=10,
+        compat_swapped_patience=False,
+        save_dir=str(tmp_path / "ckpt"),
+    )
+    ds = PointwiseDataset()
+    ds.load_data(str(data_cfg))
+    cfg = ds.build_dataset(cfg)
+    logger = MetricLogger(stream=open(os.devnull, "w"))
+    tr = Trainer(cfg, logger)
+    state = tr.train_pointwise(ds.train_data, ds.valid_data)
+    assert np.isfinite(state.best_val)
+
+    # the weighted path must shrink the BCE contribution vs the compat path
+    import jax
+
+    rows = ds.train_data
+    rng = jax.random.PRNGKey(0)
+    params = tr.init_params(rows)
+    ped, obs, sf, lab = (rows.ped_features[:16], rows.obs_features[:16],
+                         rows.self_features[:16], rows.labels[:16])
+    loss_w, _ = tr._pointwise_loss_terms(params, ped, obs, sf, lab, rng)
+    tr2 = Trainer(cfg.replace(compat_unweighted_coll_pred=True), logger)
+    tr2.model = tr.model
+    loss_u, _ = tr2._pointwise_loss_terms(params, ped, obs, sf, lab, rng)
+    assert float(loss_u) > float(loss_w)
