@@ -207,9 +207,15 @@ def _build_time_indexed(cfg: PIMLConfig, scene: Scene, polar: bool = False,
     chosen automatically for large scenes when 0.
     """
     ncfg = neighbor_config(cfg)
-    if time_chunk == 0 and scene.num_pedestrians > 1024:
-        # keep the (chunk, N, N) distance workspace near ~256M floats
-        time_chunk = max(1, int(2.5e8 // (scene.num_pedestrians ** 2)))
+    if time_chunk == 0:
+        # keep the per-chunk (chunk, N, max(N, M_obs)) distance workspace
+        # near ~256M floats; the obstacle axis matters too (the GC scenario
+        # wall polyline is ~4k points — a 337-agent scene with it OOMs HBM
+        # if all 750 frames build at once)
+        m = max(scene.num_pedestrians, int(scene.obstacles.shape[0]), 128)
+        work = scene.num_pedestrians * m
+        if scene.num_steps * work > 2.5e8:
+            time_chunk = max(1, int(2.5e8 // work))
     ped_f, obs_f, dest_f = _relative_features_chunked(scene, ncfg, time_chunk)
 
     hist_v = history_velocity(scene.velocity, cfg.num_history_velocity)
