@@ -53,6 +53,8 @@ def main():
                     help="also run the free-form GP/PySR search")
     ap.add_argument("--data", default="gc_symbolic",
                     help="data config name under configs/data_configs/")
+    ap.add_argument("--append_md", type=int, default=0,
+                    help="append the fit table to RESULTS.md")
     cli = ap.parse_args()
 
     cfg = PIMLConfig(
@@ -139,33 +141,29 @@ def main():
     with open(os.path.join(ROOT, "sr_gc.json"), "w") as f:
         json.dump(out, f, indent=2)
 
-    with open(os.path.join(ROOT, "RESULTS.md"), "a") as f:
-        f.write(f"""
+    if cli.append_md:
+        md = f"""
 ## Symbolic regression on the trained model
 
 Extracted {features.shape[0]} per-edge force messages from the
-{'finetuned' if cli.finetuned else 'pretrained'} pinnsf_bm checkpoint on the
-reference's SR extraction windows (data_symbolic.yaml), rebalanced
-(sr/extract.py::post_filter) and fitted the discovered family
-``A·exp(B·r + C·cosθ + D·r·cosθ)``:
+{'finetuned' if cli.finetuned else 'pretrained'} pinnsf_bm checkpoint
+({cli.data}.yaml), rebalanced (sr/extract.py::post_filter) and fitted the
+discovered family ``A*exp(B*r + C*cos + D*r*cos)``:
 
 | constant | fitted | paper (main_mlapm.py:16) |
 |---|---|---|
 | A | {fit.A:.3f} | 7.55 |
-| B | {fit.B:.3f} | −3.00 |
+| B | {fit.B:.3f} | -3.00 |
 | C | {fit.C:.3f} | 0.2 |
-| D | {fit.D:.3f} | −0.3 |
-| linear r² | {fit.r2:.3f} | — |
-
-Free-form search (native GP, sr/gp.py — PySR needs Julia, unavailable here):
-`{gp_row['expression'] if gp_row else 'skipped'}`
-(mse {(gp_row['loss'] if gp_row else float('nan')):.5f}).
+| D | {fit.D:.3f} | -0.3 |
+| linear r2 | {fit.r2:.3f} | --- |
 
 Direction law (top-quartile forces): anti-radial repulsion rotated by
-{mean_bias_deg:.2f}° (circular std {circ_std_deg:.1f}°; the v2 supervision
-rotates by 10°, the paper's GC fit by 56°).
-""")
-    print("appended SR section to RESULTS.md; wrote sr_gc.json")
+{mean_bias_deg:.2f} deg (circular std {circ_std_deg:.1f}).
+"""
+        with open(os.path.join(ROOT, "RESULTS.md"), "a") as f:
+            f.write(md)
+    print("wrote sr_gc.json")
     return 0
 
 
