@@ -27,6 +27,7 @@ _LEGACY_ALIASES = {
     "data_path": "data_config",
     "noise_std": "add_noise_std",
     "add_noise": "add_noise_flag",
+    "precision": "compute_dtype",  # pre-round-2 name for the NN-path dtype
 }
 
 
@@ -147,7 +148,8 @@ class PIMLConfig:
     resume_every: int = 1              # save a resumable checkpoint every N epochs
 
     # ----- TPU execution -----
-    precision: str = "float32"         # compute dtype for the NN path
+    # (NN-path compute dtype is `compute_dtype` above; this section holds
+    # device-level knobs)
     n_devices: int = 0                 # 0 = all local devices; batch/channel data parallel
     donate_state: bool = True
     remat_features: bool = True        # jax.checkpoint on the per-step feature pass

@@ -163,12 +163,16 @@ def _feature_cache_key(cfg: PIMLConfig, scene: Scene, polar: bool) -> str:
     h = hashlib.sha1()
     for arr in (scene.position, scene.velocity, scene.acceleration,
                 scene.destination, scene.dest_idx, scene.dest_num,
-                scene.waypoints, scene.obstacles):
+                scene.waypoints, scene.obstacles,
+                # masks are independent inputs (Scene.from_arrays), not
+                # derivable from the kinematics — cached mask_*_pred /
+                # abnormal fields depend on them
+                scene.mask_p, scene.mask_v, scene.mask_a):
         h.update(np.asarray(arr).tobytes())
     h.update(_json.dumps(scene.meta_data, sort_keys=True, default=str).encode())
     ncfg = neighbor_config(cfg)
     h.update(repr((
-        "v1", polar, cfg.skip_frames, cfg.num_history_velocity,
+        "v2", polar, cfg.skip_frames, cfg.num_history_velocity,
         ncfg.topk_ped, ncfg.topk_obs, ncfg.sight_angle_ped,
         ncfg.sight_angle_obs, ncfg.dist_threshold_ped, ncfg.dist_threshold_obs,
     )).encode())

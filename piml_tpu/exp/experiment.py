@@ -94,15 +94,18 @@ def run_staged_experiment(cfg: PIMLConfig, stage: str, state_path: str,
     }
 
     # pretrained model judged on the same held-out real window as the
-    # finetuned one (reference: test_multiple_rollouts on test_data)
+    # finetuned one (reference: test_multiple_rollouts on test_data).
+    # Skipped when the state file already holds it — stage reruns would
+    # otherwise pay minutes of rollout eval for an already-persisted number.
     apply_fn = lambda p, pf, of, sf: trainer.model.apply(p, pf, of, sf)
-    t0 = time.time()
-    pre_metrics = evaluate_rollouts(params, apply_fn, cfg, real.test_data,
-                                    test_flag=True)
-    logger.log(stage="pretrain_test_real", **vars(pre_metrics))
-    results["pretrain_test"] = dict(vars(pre_metrics),
-                                    eval_wall_s=time.time() - t0)
-    write_state(state_path, results)
+    if "pretrain_test" not in results:
+        t0 = time.time()
+        pre_metrics = evaluate_rollouts(params, apply_fn, cfg, real.test_data,
+                                        test_flag=True)
+        logger.log(stage="pretrain_test_real", **vars(pre_metrics))
+        results["pretrain_test"] = dict(vars(pre_metrics),
+                                        eval_wall_s=time.time() - t0)
+        write_state(state_path, results)
 
     # ---- finetune with the differentiable rollout loss ---------------------
     if stage in {"all", "finetune"}:

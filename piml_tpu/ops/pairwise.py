@@ -160,7 +160,7 @@ def _kernel(rows_ref, cols_ref, out_d_ref, out_i_ref, *, tile_m: int,
     out_i_ref[:, :] = jnp.pad(top_i, ((0, 0), (0, LANE - k)))
 
 
-def _pick_tiles(n_pad_hint: int, m: int, tile_n: Optional[int],
+def _pick_tiles(m: int, tile_n: Optional[int],
                 tile_m: Optional[int]) -> Tuple[int, int]:
     """Wide column tiles amortize the k-pass merge (measured: (64, 12800)
     3.8 ms vs (256, 512) 28 ms at N = 12,685); shrink rows when a single
@@ -200,7 +200,7 @@ def topk_neighbors_pallas(
         objects = position
         same_objects = True
     m_real = objects.shape[0]
-    tile_n, tile_m = _pick_tiles(position.shape[0], m_real, tile_n, tile_m)
+    tile_n, tile_m = _pick_tiles(m_real, tile_n, tile_m)
     rows, n = pack_rows(position, heading, tile_n)
     cols, _ = pack_cols(objects, tile_m)
     n_pad = rows.shape[0]

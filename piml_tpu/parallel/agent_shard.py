@@ -22,7 +22,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from piml_tpu.physics.features import INF, NeighborConfig, heading_direction
@@ -171,8 +171,7 @@ def sharded_relative_features(
                      destination - position)
 
     # obstacle pass: local per shard (replicated obstacle table)
-    from piml_tpu.physics.features import _pad_object_axis, gather_filtered, \
-        nearby_in_sight
+    from piml_tpu.physics.features import _pad_object_axis, nearby_in_sight
 
     obstacles_pad, m_real = _pad_object_axis(obstacles)
     k2 = min(cfg.topk_obs, m_real)

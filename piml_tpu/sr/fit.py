@@ -131,6 +131,33 @@ def fit_direction_bias(direction: np.ndarray, sign_feature: np.ndarray) -> float
     return float(np.rad2deg(np.mean(np.abs(direction[keep]))))
 
 
+class _PySRAdapter:  # pragma: no cover - PySR not installable here
+    """Expose the GP engine's interface (``best()`` → .expression/.loss/
+    .complexity, ``equations_``, ``predict``) over a fitted PySRRegressor,
+    whose own API is ``get_best()`` with 'equation'/'loss' row fields."""
+
+    def __init__(self, model):
+        self._model = model
+        from piml_tpu.sr.gp import Equation
+
+        self.equations_ = [
+            Equation(int(row["complexity"]), float(row["loss"]),
+                     float(row.get("score", 0.0)), str(row["equation"]), None)
+            for _, row in model.equations_.iterrows()
+        ]
+
+    def best(self):
+        row = self._model.get_best()
+        from piml_tpu.sr.gp import Equation
+
+        return Equation(int(row["complexity"]), float(row["loss"]),
+                        float(row.get("score", 0.0)), str(row["equation"]),
+                        None)
+
+    def predict(self, X):
+        return self._model.predict(X)
+
+
 def symbolic_regression(X: np.ndarray, y: np.ndarray,
                         unary_ops=("exp", "cos"), niterations: int = 10,
                         populations: int = 8, seed: int = 0):
@@ -148,7 +175,7 @@ def symbolic_regression(X: np.ndarray, y: np.ndarray,
             unary_operators=list(unary_ops),
         )
         model.fit(X, y)
-        return model
+        return _PySRAdapter(model)
     from piml_tpu.sr.gp import GPSymbolicRegressor
 
     model = GPSymbolicRegressor(

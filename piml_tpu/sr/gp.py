@@ -327,7 +327,10 @@ class GPSymbolicRegressor:
                     if rng.random() < 0.03:  # occasional constant polish
                         child = self._polish(child, Xb, yb)
                     f = self._fitness(child, Xb, yb)
-                    record(child, self._mse(child, Xb, yb)
+                    # derive the batch mse from the fitness (one tree
+                    # evaluation per candidate, not two)
+                    c = child.complexity()
+                    record(child, f / (1.0 + self.parsimony * c)
                            if math.isfinite(f) else float("inf"))
                     # steady-state: replace a tournament loser
                     cand = rng.integers(len(pop), size=self.tournament)

@@ -24,9 +24,33 @@ except Exception:  # pragma: no cover
     HAVE_ORBAX = False
 
 
+def _prune_old_steps(directory: str, keep: int) -> None:
+    """Drop all but the newest ``keep`` step checkpoints — restore only ever
+    reads the latest, so older full TrainStates (params + Adam moments) are
+    dead weight that would otherwise grow a long resumable run by GBs."""
+    import shutil
+
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_"):
+            stem = name[5:].removesuffix(".pkl")
+            if stem.isdigit():
+                steps.append((int(stem), name))
+    for _, name in sorted(steps)[:-keep] if keep else []:
+        path = os.path.join(directory, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+
 def save_train_state(directory: str, step: int, params: Any, opt_state: Any,
-                     extra: Optional[dict] = None) -> str:
-    """Write a resumable checkpoint under ``directory/step_{step}``."""
+                     extra: Optional[dict] = None, keep: int = 2) -> str:
+    """Write a resumable checkpoint under ``directory/step_{step}``; the
+    newest ``keep`` steps are retained (0 = keep all)."""
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     payload = {
@@ -38,6 +62,7 @@ def save_train_state(directory: str, step: int, params: Any, opt_state: Any,
         with ocp.PyTreeCheckpointer() as ckptr:
             path = os.path.join(directory, f"step_{step}")
             ckptr.save(path, payload, force=True)
+        _prune_old_steps(directory, keep)
         return path
     # flat-numpy fallback
     import pickle
@@ -46,6 +71,7 @@ def save_train_state(directory: str, step: int, params: Any, opt_state: Any,
     host = jax.tree_util.tree_map(np.asarray, payload)
     with open(path, "wb") as f:
         pickle.dump(host, f)
+    _prune_old_steps(directory, keep)
     return path
 
 

@@ -9,6 +9,11 @@ stopping (patience 20 pretrain / 5 finetune).
 
 Stages are separately runnable/resumable via --stage; writes
 gc_experiment.json + RESULTS.md at the repo root.
+
+NOTE: this predates piml_tpu/exp/experiment.py::run_staged_experiment (the
+UCY tool uses it) and carries GC-specific extras (--set ablation overrides,
+alternate --state files, the RESULTS.md writer).  Keep the stage logic in
+sync with the shared runner when touching either.
 """
 
 import json
@@ -152,17 +157,19 @@ def main():
     }
 
     # pretrained model evaluated on the SAME real held-out window the
-    # finetuned model is judged on (reference: test_multiple_rollouts)
+    # finetuned model is judged on (reference: test_multiple_rollouts);
+    # skipped when the state file already holds it
     apply_fn = lambda p, pf, of, sf: trainer.model.apply(p, pf, of, sf)
-    t0 = time.time()
-    pre_metrics = evaluate_rollouts(params, apply_fn, cfg, real.test_data,
-                                    test_flag=True)
-    logger.log(stage="pretrain_test_real", mse=pre_metrics.mse,
-               mae=pre_metrics.mae, ot=pre_metrics.ot, mmd=pre_metrics.mmd,
-               coll=pre_metrics.collision, hard=pre_metrics.hard_collision)
-    results["pretrain_test"] = dict(vars(pre_metrics),
-                                    eval_wall_s=time.time() - t0)
-    _write_state(results)
+    if "pretrain_test" not in results:
+        t0 = time.time()
+        pre_metrics = evaluate_rollouts(params, apply_fn, cfg, real.test_data,
+                                        test_flag=True)
+        logger.log(stage="pretrain_test_real", mse=pre_metrics.mse,
+                   mae=pre_metrics.mae, ot=pre_metrics.ot, mmd=pre_metrics.mmd,
+                   coll=pre_metrics.collision, hard=pre_metrics.hard_collision)
+        results["pretrain_test"] = dict(vars(pre_metrics),
+                                        eval_wall_s=time.time() - t0)
+        _write_state(results)
 
     # ---- finetune with the differentiable rollout loss --------------------
     if cli.stage in {"all", "finetune"}:
