@@ -143,3 +143,28 @@ def test_piml_iteration_driver(tmp_path, toy_paths):
     assert np.isfinite(result.fit_A) and result.fit_A > 0
     mp = result.mlapm_params()
     assert mp.A == result.fit_A
+
+
+@pytest.mark.slow
+def test_cli_pipeline_polar_mode(tmp_path, toy_paths):
+    """End-to-end polar training mode (training_mode='polar' routes the
+    polar dataset views + pinnsf_pb per-edge polar decoding)."""
+    import yaml
+
+    from piml_tpu.exp.main import run
+    from piml_tpu.utils import MetricLogger
+
+    data_cfg = tmp_path / "data.yaml"
+    data_cfg.write_text(yaml.safe_dump({
+        "train": [toy_paths[2]], "valid": [toy_paths[1]],
+    }))
+    cfg = PIMLConfig(
+        data_config=str(data_cfg), model="pinnsf_pb", training_mode="polar",
+        epochs=1, batch_size=16, skip_frames=5, dropout=0.0,
+        encoder_hidden_size=16, encoder_hidden_layers=2,
+        processor_hidden_size=16, processor_hidden_layers=2,
+        decoder_hidden_size=8, decoder_hidden_layers=2,
+        save_dir=str(tmp_path / "ckpt"),
+    )
+    results = run(cfg, MetricLogger(stream=open(os.devnull, "w")))
+    assert np.isfinite(results["pretrain_val"])
