@@ -98,18 +98,104 @@ def sinkhorn_masked(
     return jnp.sum(pi * C)
 
 
-@partial(jax.jit, static_argnames=("mode",))
+def sinkhorn_masked_chunked(
+    x: jax.Array, y: jax.Array, mask_x: jax.Array, mask_y: jax.Array,
+    eps: float = 0.1, max_iter: int = 100, thresh: float = 1e-1,
+    block: int = 2048,
+) -> jax.Array:
+    """Streaming Sinkhorn: identical semantics to :func:`sinkhorn_masked`
+    but never materializes the (N, M) cost matrix — each potential update
+    recomputes cost tiles of width ``block`` on the fly and merges their
+    logsumexps (flash-attention-style), so memory is O(N·block).  This is
+    the path that makes OT evaluable at the dense GC stress scale
+    (N = 12,685: the dense cost matrix is 644 MB/frame *per vmapped frame*,
+    the tiles are ≤100 MB total)."""
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+    y = jnp.where(jnp.isfinite(y), y, 0.0)
+    pad_x = -x.shape[0] % block
+    pad_y = -y.shape[0] % block
+    x = jnp.pad(x, ((0, pad_x), (0, 0)))
+    mask_x = jnp.pad(mask_x, (0, pad_x))
+    y = jnp.pad(y, ((0, pad_y), (0, 0)))
+    mask_y = jnp.pad(mask_y, (0, pad_y))
+    xb = x.reshape(-1, block, 2)
+    yb = y.reshape(-1, block, 2)
+    mxb = mask_x.reshape(-1, block)
+    myb = mask_y.reshape(-1, block)
+
+    nx = jnp.maximum(jnp.sum(mask_x), 1.0)
+    ny = jnp.maximum(jnp.sum(mask_y), 1.0)
+    mu = mask_x / nx
+    nu = mask_y / ny
+    neg_big = -1e9
+    lse = jax.scipy.special.logsumexp
+
+    def m_tile(xi, mxi, ui, yj, myj, vj):
+        c = jnp.sum((xi[:, None, :] - yj[None, :, :]) ** 2, axis=-1)
+        m = (-c + ui[:, None] + vj[None, :]) / eps
+        return jnp.where((mxi[:, None] * myj[None, :]) == 1, m, neg_big), c
+
+    def lse_rows(u, v):
+        """logsumexp_j M(u, v) for every row i, tiled over y blocks."""
+        vb = v.reshape(-1, block)
+        blk = jax.lax.map(
+            lambda a: lse(m_tile(x, mask_x, u, a[0], a[1], a[2])[0], axis=-1),
+            (yb, myb, vb),
+        )  # (nb, Nx)
+        return lse(blk, axis=0)
+
+    def lse_cols(u, v):
+        ub = u.reshape(-1, block)
+        blk = jax.lax.map(
+            lambda a: lse(m_tile(a[0], a[1], a[2], y, mask_y, v)[0], axis=-2),
+            (xb, mxb, ub),
+        )  # (nb, Ny)
+        return lse(blk, axis=0)
+
+    def cond(carry):
+        u, v, err, it = carry
+        return (err >= thresh) & (it < max_iter)
+
+    def body(carry):
+        u, v, _, it = carry
+        u1 = u
+        u = eps * (jnp.log(mu + 1e-8) - lse_rows(u, v)) + u
+        v = eps * (jnp.log(nu + 1e-8) - lse_cols(u, v)) + v
+        err = jnp.mean(jnp.sum(jnp.abs((u - u1) * mask_x), axis=-1) / 1.0)
+        return u, v, err, it + 1
+
+    u, v, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros_like(mu), jnp.zeros_like(nu), jnp.inf, 0))
+
+    def cost_tile(a):
+        m, c = m_tile(x, mask_x, u, a[0], a[1], a[2])
+        pi = jnp.exp(m) * (mask_x[:, None] * a[1][None, :])
+        return jnp.sum(pi * c)
+
+    vb = v.reshape(-1, block)
+    return jnp.sum(jax.lax.map(cost_tile, (yb, myb, vb)))
+
+
+@partial(jax.jit, static_argnames=("mode", "dense_limit"))
 def ot_with_time_mask(p: jax.Array, q: jax.Array, mask: jax.Array,
-                      mode: str = "mean") -> jax.Array:
+                      mode: str = "mean", dense_limit: int = 2048) -> jax.Array:
     """Per-frame Sinkhorn OT between predicted and real crowds
     (reference: metrics.py:45-67).  Frames with ≤1 present agent are skipped.
 
     p/q: (t, N, 2) (leading channel axes must be reshaped in by the caller);
-    mask: (t, N).
+    mask: (t, N).  Above ``dense_limit`` agents the streaming kernel runs
+    sequentially over frames (lax.map) so peak memory stays O(N·block).
     """
-    per_frame = jax.vmap(
-        lambda xp, xq, m: sinkhorn_masked(xp, xq, m, m)
-    )(p, q, (mask == 1).astype(p.dtype))
+    m = (mask == 1).astype(p.dtype)
+    if p.shape[-2] > dense_limit:
+        per_frame = jax.lax.map(
+            lambda a: sinkhorn_masked_chunked(a[0], a[1], a[2], a[2]),
+            (p, q, m),
+        )
+    else:
+        per_frame = jax.vmap(
+            lambda xp, xq, mm: sinkhorn_masked(xp, xq, mm, mm)
+        )(p, q, m)
     active = jnp.sum(mask == 1, axis=-1) > 1
     per_frame = jnp.where(active, per_frame, 0.0)
     if mode == "sum":
@@ -157,17 +243,81 @@ def mmd_masked(source: jax.Array, target: jax.Array, mask_s: jax.Array,
     return xx + yy - xy - yx
 
 
-@partial(jax.jit, static_argnames=("mode",))
+def mmd_masked_chunked(source: jax.Array, target: jax.Array,
+                       mask_s: jax.Array, mask_t: jax.Array,
+                       kernel_mul: float = 2.0, kernel_num: int = 5,
+                       block: int = 4096) -> jax.Array:
+    """Streaming twin of :func:`mmd_masked`: two tiled passes over the
+    (2N, 2N) pair space — pass 1 accumulates the masked distance sum for the
+    shared bandwidth, pass 2 accumulates per-quadrant kernel sums via
+    source/target indicator weights — so the kernel matrix is never
+    materialized and N = 12,685 fits comfortably (tiles are (block, 2N))."""
+    source = jnp.where(jnp.isfinite(source), source, 0.0)
+    target = jnp.where(jnp.isfinite(target), target, 0.0)
+    total = jnp.concatenate([source, target], axis=0)
+    mask = jnp.concatenate([mask_s, mask_t], axis=0)
+    is_s = jnp.concatenate([mask_s, jnp.zeros_like(mask_t)], axis=0)
+    is_t = jnp.concatenate([jnp.zeros_like(mask_s), mask_t], axis=0)
+
+    pad = -total.shape[0] % block
+    total_p = jnp.pad(total, ((0, pad), (0, 0)))
+    mask_p = jnp.pad(mask, (0, pad))
+    is_s_p = jnp.pad(is_s, (0, pad))
+    is_t_p = jnp.pad(is_t, (0, pad))
+    rows = total_p.reshape(-1, block, 2)
+    rmask = mask_p.reshape(-1, block)
+    r_is_s = is_s_p.reshape(-1, block)
+    r_is_t = is_t_p.reshape(-1, block)
+
+    def l2_tile(a):
+        d = jnp.sum((a[0][:, None, :] - total[None, :, :]) ** 2, axis=-1)
+        return jnp.sum(d * (a[1][:, None] * mask[None, :]))
+
+    l2_sum = jnp.sum(jax.lax.map(l2_tile, (rows, rmask)))
+    n_samples = jnp.maximum(jnp.sum(mask), 2.0)
+    bandwidth = l2_sum / (n_samples ** 2 - n_samples)
+    bandwidth = bandwidth / (kernel_mul ** (kernel_num // 2))
+    bandwidth = jnp.maximum(bandwidth, 1e-12)
+
+    def kernel_tile(a):
+        row, mrow, ss, tt = a
+        d = jnp.sum((row[:, None, :] - total[None, :, :]) ** 2, axis=-1)
+        d = d * (mrow[:, None] * mask[None, :])
+        k = jnp.zeros_like(d)
+        for i in range(kernel_num):
+            k = k + jnp.exp(-d / (bandwidth * kernel_mul ** i))
+        k = k * (mrow[:, None] * mask[None, :])
+        xx = jnp.sum(k * (ss[:, None] * is_s[None, :]))
+        yy = jnp.sum(k * (tt[:, None] * is_t[None, :]))
+        xy = jnp.sum(k * (ss[:, None] * is_t[None, :]))
+        yx = jnp.sum(k * (tt[:, None] * is_s[None, :]))
+        return jnp.stack([xx, yy, xy, yx])
+
+    quad = jnp.sum(jax.lax.map(kernel_tile, (rows, rmask, r_is_s, r_is_t)),
+                   axis=0)
+    ns = jnp.maximum(jnp.sum(mask_s), 1.0)
+    nt = jnp.maximum(jnp.sum(mask_t), 1.0)
+    return (quad[0] / (ns * ns) + quad[1] / (nt * nt)
+            - quad[2] / (ns * nt) - quad[3] / (nt * ns))
+
+
+@partial(jax.jit, static_argnames=("mode", "dense_limit"))
 def mmd_with_time_mask(p: jax.Array, q: jax.Array, mask: jax.Array,
-                       mode: str = "mean") -> jax.Array:
+                       mode: str = "mean", dense_limit: int = 2048) -> jax.Array:
     """Per-frame MMD (reference: metrics.py:70-91); channels reshape into the
-    frame axis like the reference does."""
+    frame axis like the reference does.  Above ``dense_limit`` agents the
+    streaming kernel runs sequentially over frames (lax.map)."""
     if mask.ndim > 2:
         mask = mask.reshape(-1, mask.shape[-1])
         p = p.reshape(mask.shape[0], p.shape[-2], p.shape[-1])
         q = q.reshape(mask.shape[0], q.shape[-2], q.shape[-1])
     m = (mask == 1).astype(p.dtype)
-    per_frame = jax.vmap(lambda xp, xq, mm: mmd_masked(xp, xq, mm, mm))(p, q, m)
+    if p.shape[-2] > dense_limit:
+        per_frame = jax.lax.map(
+            lambda a: mmd_masked_chunked(a[0], a[1], a[2], a[2]), (p, q, m))
+    else:
+        per_frame = jax.vmap(
+            lambda xp, xq, mm: mmd_masked(xp, xq, mm, mm))(p, q, m)
     active = jnp.sum(mask == 1, axis=-1) > 1
     per_frame = jnp.where(active, per_frame, 0.0)
     if mode == "sum":

@@ -154,3 +154,48 @@ def test_collision_count_reduction():
     pos[:, 2] = [5, 5]
     total = float(collision_count(pos, 0.5, mode="sum"))
     assert total == 10.0  # 5 frames × 2 directed pairs
+
+
+# ---------------------------------------------------------------------------
+# streaming (chunked) kernels — must match the dense kernels exactly
+# ---------------------------------------------------------------------------
+
+def test_sinkhorn_chunked_matches_dense(rng):
+    from piml_tpu.metrics import sinkhorn_masked_chunked
+
+    n, m = 37, 53  # deliberately not multiples of the block
+    x = rng.randn(n, 2).astype(np.float32)
+    y = rng.randn(m, 2).astype(np.float32) + 0.5
+    mx = (rng.rand(n) > 0.2).astype(np.float32)
+    my = (rng.rand(m) > 0.2).astype(np.float32)
+    dense = float(sinkhorn_masked(x, y, mx, my))
+    chunked = float(sinkhorn_masked_chunked(x, y, mx, my, block=16))
+    assert chunked == pytest.approx(dense, rel=1e-4, abs=1e-5)
+
+
+def test_mmd_chunked_matches_dense(rng):
+    from piml_tpu.metrics import mmd_masked_chunked
+
+    n, m = 41, 29
+    s = rng.randn(n, 2).astype(np.float32)
+    t = rng.randn(m, 2).astype(np.float32) + 0.3
+    ms = (rng.rand(n) > 0.2).astype(np.float32)
+    mt = (rng.rand(m) > 0.2).astype(np.float32)
+    dense = float(mmd_masked(s, t, ms, mt))
+    chunked = float(mmd_masked_chunked(s, t, ms, mt, block=16))
+    assert chunked == pytest.approx(dense, rel=1e-4, abs=1e-6)
+
+
+def test_time_mask_dispatch_chunked_matches_dense(rng):
+    """Above dense_limit the frame-level drivers switch to the streaming
+    kernels; forcing a tiny limit on small data must not change results."""
+    T, N = 3, 24
+    p = rng.randn(T, N, 2).astype(np.float32)
+    q = rng.randn(T, N, 2).astype(np.float32)
+    mask = (rng.rand(T, N) > 0.2).astype(np.float32)
+    ot_d = float(ot_with_time_mask(p, q, mask, "mean"))
+    ot_c = float(ot_with_time_mask(p, q, mask, "mean", dense_limit=8))
+    assert ot_c == pytest.approx(ot_d, rel=1e-4, abs=1e-5)
+    mmd_d = float(mmd_with_time_mask(p, q, mask, "mean"))
+    mmd_c = float(mmd_with_time_mask(p, q, mask, "mean", dense_limit=8))
+    assert mmd_c == pytest.approx(mmd_d, rel=1e-4, abs=1e-6)
