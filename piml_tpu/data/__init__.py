@@ -15,6 +15,7 @@ from piml_tpu.data.datasets import (  # noqa: F401
     OnlyTrainingDataset,
     PointwiseDataset,
     RatioSplitDataset,
+    SceneListSplitDataset,
     VisDataset,
     apply_config_augmentation,
     augment_scenes,

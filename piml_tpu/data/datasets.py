@@ -263,6 +263,47 @@ class RatioSplitDataset:
         return _publish_dims(cfg, clean)
 
 
+class SceneListSplitDataset:
+    """Ratio split over a LIST of scenes by scene index (reference:
+    ``PointwisePedDataset.build_dataset_with_list`` dataset.py:155-206):
+    train/valid scenes are merged pointwise, test is the first test-block
+    scene as a time-indexed view (the reference keeps only ``test_data[0]``,
+    dataset.py:194-195).  Uses the same ``split_train_val_test`` index
+    semantics (no shuffle at this call site, dataset.py:170-172)."""
+
+    def __init__(self, polar: bool = False):
+        self.polar = polar
+        self.scenes: List[Scene] = []
+        self.train_data: Optional[PointwiseData] = None
+        self.valid_data: Optional[PointwiseData] = None
+        self.test_data: List[TimeIndexedData] = []
+
+    def load_data(self, path_or_config) -> None:
+        if isinstance(path_or_config, (list, tuple)):
+            self.scenes = [Scene.load(p) for p in path_or_config]
+        else:
+            raw = load_scenes(path_or_config)
+            self.scenes = [s for split in raw.values() for s in split]
+
+    def build_dataset(self, cfg: PIMLConfig) -> PIMLConfig:
+        assert self.scenes, "must load raw data before build_dataset"
+        units = {s.time_unit for s in self.scenes}
+        assert len(units) == 1, f"inconsistent time units: {units}"
+        cfg = cfg.replace(time_unit=units.pop())
+        views = [make_time_indexed(cfg, s, polar=self.polar)
+                 for s in self.scenes]
+        train_idx, valid_idx, test_idx = split_train_val_test(
+            len(views), cfg.train_ratio, cfg.val_ratio, cfg.test_ratio,
+            cfg.seed, shuffle=False,
+        )
+        self.train_data = merge_pointwise(
+            [to_pointwise(views[i]) for i in train_idx])
+        self.valid_data = merge_pointwise(
+            [to_pointwise(views[i]) for i in valid_idx])
+        self.test_data = [views[test_idx[0]]] if len(test_idx) else []
+        return _publish_dims(cfg, views[0])
+
+
 class OnlyTrainingDataset:
     """Train-only orchestration (reference: ``PointwisePedDatasetOnlyTraining``
     dataset.py:256-310): train pointwise; valid channeled-'split' windows when

@@ -438,3 +438,47 @@ def to_channeled(data: TimeIndexedData, stride: int = 25,
         obstacles=data.obstacles, desired_speed=data.desired_speed,
         meta_data=data.meta_data,
     )
+
+
+def pad_agents(data: TimeIndexedData, multiple: int) -> TimeIndexedData:
+    """Pad the agent axis to a multiple of ``multiple`` with inert slots
+    (NaN positions → permanently absent, zero masks) so the agent-sharded
+    engine path (EngineConfig.shard_agents, parallel/agent_shard.py) can
+    split N evenly over the mesh.  Padded slots never spawn, are never
+    selected as neighbors (NaN rows score +inf) and carry zero prediction
+    mask, so every metric and loss is unchanged."""
+    import numpy as _np
+
+    n = data.num_pedestrians
+    extra = -n % multiple
+    if extra == 0:
+        return data
+
+    def pad(x, axis, value):
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, extra)
+        return jnp.pad(x, widths, constant_values=value)
+
+    return TimeIndexedData(
+        ped_features=pad(data.ped_features, -3, 0.0),
+        obs_features=pad(data.obs_features, -3, 0.0),
+        self_features=pad(data.self_features, -2, 0.0),
+        labels=pad(data.labels, -2, 0.0),
+        mask_p=pad(data.mask_p, -1, 0.0),
+        mask_v=pad(data.mask_v, -1, 0.0),
+        mask_a=pad(data.mask_a, -1, 0.0),
+        mask_p_pred=pad(data.mask_p_pred, -1, 0.0),
+        mask_v_pred=pad(data.mask_v_pred, -1, 0.0),
+        mask_a_pred=pad(data.mask_a_pred, -1, 0.0),
+        abnormal_mask=pad(data.abnormal_mask, -1, 1.0),
+        position=pad(data.position, -2, _np.nan),
+        velocity=pad(data.velocity, -2, 0.0),
+        acceleration=pad(data.acceleration, -2, 0.0),
+        destination=pad(data.destination, -2, _np.nan),
+        dest_idx=pad(data.dest_idx, -1, 0),
+        dest_num=pad(data.dest_num, -1, 1),
+        waypoints=pad(data.waypoints, -2, _np.nan),
+        obstacles=data.obstacles,
+        desired_speed=pad(data.desired_speed, -1, 0.0),
+        meta_data=data.meta_data,
+    )

@@ -52,6 +52,10 @@ class EngineConfig:
     collision_threshold: float = 0.5
     track_collision_labels: bool = False  # pinnsf_bm multitask bookkeeping
     remat: bool = True              # checkpoint the step for BPTT memory
+    shard_agents: bool = False      # N² pair pass via the ICI ring
+                                    # (parallel/agent_shard.py); requires a
+                                    # mesh passed to make_step/rollout and
+                                    # N divisible by the mesh axis
 
 
 @struct.dataclass
@@ -124,6 +128,8 @@ def make_step(
     obstacles: jax.Array,      # (M, 2)
     desired_speed: jax.Array,  # (N, 1)
     stochastic: bool = False,
+    mesh=None,
+    mesh_axis: str = "ap",
 ):
     """Build the scan step ``(params, state, xs) -> (state, outputs)``.
 
@@ -131,19 +137,38 @@ def make_step(
     fresh dropout masks each frame — the reference finetunes under
     ``model.train()``, so dropout is live inside the differentiable rollout
     (simulators.py:295,659-832); ``apply_fn`` must then accept a trailing
-    rng argument."""
+    rng argument.
+
+    ``cfg.shard_agents`` + ``mesh``: the per-step O(N²) feature rebuild runs
+    agent-sharded over ``mesh_axis`` via the ICI-ring streaming pass
+    (parallel/agent_shard.py) — per-device memory O(N²/D²), the supported
+    path for scenes past one chip's HBM."""
 
     dt = cfg.time_unit
     n_hist = None  # inferred from state at trace time
 
-    def features_for(p, v, a, dest, hist_v):
+    if cfg.shard_agents and mesh is None:
+        raise ValueError("EngineConfig.shard_agents requires a mesh")
+
+    def features_for(p, v, a, dest, hist_v, k1, k2):
         # single-frame heading: the temporal fill degenerates to the guarded
         # normalization (the reference passes a singleton time axis,
         # simulators.py:642-646; rank-2 inputs give identical semantics and a
-        # far better TPU layout than a (1, N, ·) batch axis)
-        ped_f, obs_f, dest_f = relative_features(
-            p, v, a, dest, obstacles, cfg.neighbor
-        )
+        # far better TPU layout than a (1, N, ·) batch axis).
+        # k1/k2 clamp the neighbor axes to the dataset-seeded feature widths:
+        # on an agent-padded scene (pad_agents) min(topk, N) would otherwise
+        # widen mid-scan and break the carry shape.
+        ncfg = cfg.neighbor._replace(topk_ped=k1, topk_obs=k2)
+        if cfg.shard_agents:
+            from piml_tpu.parallel.agent_shard import sharded_relative_features
+
+            ped_f, obs_f, dest_f = sharded_relative_features(
+                p, v, a, dest, obstacles, ncfg, mesh, axis=mesh_axis
+            )
+        else:
+            ped_f, obs_f, dest_f = relative_features(
+                p, v, a, dest, obstacles, ncfg
+            )
         self_f = jnp.concatenate(
             [dest_f, hist_v, a, desired_speed], axis=-1
         )
@@ -209,7 +234,10 @@ def make_step(
         hist_v = jnp.where(new == 1, spawn.hist_v, hist_v)
 
         # ---- rebuild features ----------------------------------------------
-        ped_f, obs_f, self_f = features_for(p_next, v_next, a_next, dest_next, hist_v)
+        ped_f, obs_f, self_f = features_for(
+            p_next, v_next, a_next, dest_next, hist_v,
+            state.ped_f.shape[-2], state.obs_f.shape[-2],
+        )
 
         new_state = EngineState(
             p=p_next, v=v_next, a=a_next, dest=dest_next, dest_idx=dest_idx,
@@ -253,11 +281,14 @@ def rollout(
     obstacles: jax.Array,
     desired_speed: jax.Array,
     step_rngs: Optional[jax.Array] = None,   # (T_roll,) key array: live dropout
+    mesh=None,
+    mesh_axis: str = "ap",
 ) -> Tuple[EngineState, StepOutputs]:
     """Run the scan: ``T_roll`` steps from ``state``; outputs are time-major."""
     stochastic = step_rngs is not None
     step = make_step(apply_fn, cfg, waypoints, dest_num, obstacles,
-                     desired_speed, stochastic=stochastic)
+                     desired_speed, stochastic=stochastic,
+                     mesh=mesh, mesh_axis=mesh_axis)
 
     def body(carry, xs):
         return step(params, carry, xs)

@@ -38,7 +38,7 @@ from piml_tpu.train import losses  # module import only — no package __init__ 
 
 
 def engine_config(cfg: PIMLConfig, *, retire: bool, track_collisions: bool,
-                  track_labels: bool) -> EngineConfig:
+                  track_labels: bool, shard_agents: bool = False) -> EngineConfig:
     return EngineConfig(
         neighbor=neighbor_config(cfg),
         time_unit=cfg.time_unit,
@@ -48,6 +48,7 @@ def engine_config(cfg: PIMLConfig, *, retire: bool, track_collisions: bool,
         collision_threshold=cfg.collision_threshold,
         track_collision_labels=track_labels,
         remat=cfg.remat_features,
+        shard_agents=shard_agents,
     )
 
 
@@ -62,12 +63,18 @@ class RolloutResult(NamedTuple):
 # evaluation rollout (get_multiple_rollouts, simulators.py:556-657)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("apply_fn", "ecfg", "t_start"))
+@partial(jax.jit,
+         static_argnames=("apply_fn", "ecfg", "t_start", "mesh", "mesh_axis"))
 def eval_rollout(
-    params, apply_fn, ecfg: EngineConfig, data: TimeIndexedData, t_start: int
+    params, apply_fn, ecfg: EngineConfig, data: TimeIndexedData, t_start: int,
+    mesh=None, mesh_axis: str = "ap",
 ) -> RolloutResult:
     """Closed-loop rollout from ``t_start`` with ground-truth teleport-in and
-    arrival retirement; returns full dense trajectories."""
+    arrival retirement; returns full dense trajectories.
+
+    With ``ecfg.shard_agents`` and a ``mesh``, the per-step pair pass runs
+    agent-sharded over ``mesh_axis`` (N must divide the axis — use
+    ``data.pad_agents`` upstream)."""
     state = init_state(
         p=data.position[t_start],
         v=data.velocity[t_start],
@@ -88,7 +95,7 @@ def eval_rollout(
     _, outs = rollout(
         params, apply_fn, ecfg, state, take,
         data.waypoints, data.dest_num, data.obstacles,
-        data.desired_speed[:, None],
+        data.desired_speed[:, None], mesh=mesh, mesh_axis=mesh_axis,
     )
 
     prefix = lambda gt, roll: jnp.concatenate([gt[:t_start], roll], axis=0)
@@ -124,11 +131,16 @@ class RolloutMetrics:
 
 def evaluate_rollouts(
     params, apply_fn, cfg: PIMLConfig, datasets, *, test_flag: bool = True,
+    mesh=None, mesh_axis: str = "ap",
 ) -> RolloutMetrics:
     """Rollout + metric suite over a list of scenes
-    (reference: simulators.py:465-554, list branch)."""
+    (reference: simulators.py:465-554, list branch).
+
+    ``mesh``: agent-shard the rollout's N² pair pass over ``mesh_axis``
+    (scenes are padded to the axis size; metrics are unaffected — padded
+    slots carry zero masks)."""
     ecfg = engine_config(cfg, retire=True, track_collisions=False,
-                         track_labels=False)
+                         track_labels=False, shard_agents=mesh is not None)
     if isinstance(datasets, TimeIndexedData):
         datasets = [datasets]
 
@@ -137,7 +149,12 @@ def evaluate_rollouts(
     n_rows = 0
     n_frames = 0
     for data in datasets:
-        res = eval_rollout(params, apply_fn, ecfg, data, cfg.skip_frames)
+        if mesh is not None:
+            from piml_tpu.data.views import pad_agents
+
+            data = pad_agents(data, mesh.shape[mesh_axis])
+        res = eval_rollout(params, apply_fn, ecfg, data, cfg.skip_frames,
+                           mesh=mesh, mesh_axis=mesh_axis)
         p_pred = res.position
         mask_pred = data.mask_p_pred
 

@@ -148,3 +148,18 @@ def test_feature_cache_roundtrip(tmp_path, monkeypatch):
     cfg2 = cfg.replace(topk_ped=4)
     make_time_indexed(cfg2, scene)
     assert len(os.listdir(tmp_path)) == 2
+
+
+def test_scene_list_split_dataset(toy_paths):
+    """build_dataset_with_list semantics (reference dataset.py:155-206):
+    scene-index ratio split, pointwise train/valid, first test scene only."""
+    from piml_tpu.data import SceneListSplitDataset
+
+    ds = SceneListSplitDataset()
+    paths = list(toy_paths) + [toy_paths[0], toy_paths[1]]  # 5 scenes
+    ds.load_data(paths)
+    cfg = ds.build_dataset(_cfg())
+    # 5 scenes at 0.6/0.2/0.2: train=[0,1,2], valid=[3], test=[4]
+    assert len(ds.test_data) == 1
+    assert len(ds.train_data) > len(ds.valid_data) > 0
+    assert cfg.self_feature_dim > 0

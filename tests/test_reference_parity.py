@@ -554,3 +554,23 @@ def test_heading_direction_4d(ref_modules):
     ).numpy()
     got = np.asarray(heading_direction(vel))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_split_train_val_test_parity(ref_modules):
+    """Index-exact parity with BaseDataset.split_train_val_test
+    (dataset.py:75-95), incl. the quirky shuffle that permutes only the
+    first val_ratio block."""
+    import data.dataset as ref_dataset
+
+    from piml_tpu.data import split_train_val_test
+
+    for n in (10, 37, 100):
+        for shuffle in (False, True):
+            for ratios in ((0.6, 0.2, 0.2), (0.8, 0.1, 0.1)):
+                ref = ref_dataset.BaseDataset.split_train_val_test(
+                    n, *ratios, seed=666, shuffle=shuffle)
+                got = split_train_val_test(n, *ratios, seed=666,
+                                           shuffle=shuffle)
+                for r, g in zip(ref, got):
+                    np.testing.assert_array_equal(np.asarray(r, dtype=np.int64),
+                                                  np.asarray(g, dtype=np.int64))

@@ -42,9 +42,20 @@ RUN_DIR = os.path.join(REPO, "refrun")
 def setup_rundir():
     src = os.path.join(RUN_DIR, "src")
     os.makedirs(src, exist_ok=True)
-    data_link = os.path.join(RUN_DIR, "data")
-    if not os.path.islink(data_link):
-        os.symlink("/root/reference/data", data_link)
+    data_dir = os.path.join(RUN_DIR, "data")
+    if os.path.islink(data_dir):
+        os.unlink(data_dir)
+    os.makedirs(data_dir, exist_ok=True)
+    ref_data = "/root/reference/data"
+    for sub in os.listdir(ref_data):
+        link = os.path.join(data_dir, sub)
+        if not os.path.islink(link):
+            os.symlink(os.path.join(ref_data, sub), link)
+    # the shipped yamls use 'GC_dataset' (lowercase d) while the tree ships
+    # 'GC_Dataset' — the reference clearly ran on a case-insensitive mount
+    alias = os.path.join(data_dir, "GC_dataset")
+    if not os.path.islink(alias):
+        os.symlink(os.path.join(ref_data, "GC_Dataset"), alias)
     return src
 
 
@@ -189,6 +200,10 @@ def main():
         synthetic_dataset.train_data, args.batch_size, args.seed,
         shuffle=args.shuffle, drop_last=True)
     simulator = SIMULATOR.BaseSimulator(args)
+    # validate() prints self.time_iter, which only exists once an epoch has
+    # run (simulators.py:364); finetune's pre-epoch validation would crash
+    # on a freshly loaded checkpoint
+    simulator.time_iter = 0.0
 
     ckpt = os.path.join(RUN_DIR, "saved_model",
                         f"{args.exp_name}_{args.model_name_suffix}")
@@ -221,9 +236,15 @@ def main():
     ft_loaders = LOADER.data_loader(
         real_dataset.train_data, args.f_batch_size, args.seed,
         shuffle=args.shuffle, drop_last=True)
+    # The shipped channeled-'split' validation windows are valid_steps=10
+    # frames long, but the rollout starts at skip_frames=25 → IndexError
+    # (simulators.py:571 on dataset.py:342's 10-frame windows).  The
+    # commented-out alternative at dataset.py:343 — validate on the full
+    # un-channeled windows — is the only runnable semantics; use it (it is
+    # also what validate()'s list branch + val_coll_weight expects).
+    ft_valid = real_dataset.dataset["valid"]
     t0 = time.time()
-    simulator.finetune(ft_loaders, real_dataset.valid_data,
-                       real_dataset.test_data)
+    simulator.finetune(ft_loaders, ft_valid, real_dataset.test_data)
     out["finetune_s"] = time.time() - t0
 
     # finetuned row from the best finetuned checkpoint
