@@ -3,6 +3,7 @@ from piml_tpu.parallel.sharding import (  # noqa: F401
     make_dp_pointwise_step,
     make_mesh,
     replicate,
+    pad_channels,
     shard_channeled_batch,
     shard_leading,
 )

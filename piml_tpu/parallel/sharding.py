@@ -56,17 +56,49 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     )
 
 
+def pad_channels(batch: ChanneledData, multiple: int) -> ChanneledData:
+    """Pad the window-channel axis to a multiple with inert channels (NaN
+    positions, zero masks): every loss term is a mask-gated sum, so padded
+    channels contribute exactly zero and gradients are unchanged."""
+    import numpy as np
+
+    c = batch.num_channels
+    extra = -c % multiple
+    if extra == 0:
+        return batch
+    per_channel = {
+        "ped_features", "obs_features", "self_features", "labels",
+        "mask_p", "mask_v", "mask_a", "mask_p_pred", "mask_v_pred",
+        "mask_a_pred", "velocity", "acceleration", "dest_idx",
+    }
+    nan_fields = {"position", "destination"}
+
+    def pad(x, value):
+        widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    fields = {}
+    for name in per_channel:
+        fields[name] = pad(getattr(batch, name), 0)
+    for name in nan_fields:
+        fields[name] = pad(getattr(batch, name), np.nan)
+    return batch.replace(**fields)
+
+
 def shard_channeled_batch(batch: ChanneledData, mesh: Mesh,
                           axis: str = "dp") -> ChanneledData:
     """Shard the window-channel axis across devices; per-scene statics
-    (waypoints, obstacles, dest_num, ...) are replicated."""
+    (waypoints, obstacles, dest_num, ...) are replicated.  Ragged channel
+    counts are padded up with inert channels (:func:`pad_channels`) so the
+    shard is always even."""
     n = mesh.shape[axis]
     repl = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P(axis))
+    batch = pad_channels(batch, n)
     c = batch.num_channels
 
     def put(x, name):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == c and c % n == 0 \
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == c \
                 and name not in {"dest_num", "waypoints", "obstacles",
                                  "desired_speed", "abnormal_mask"}:
             return jax.device_put(x, dp)

@@ -51,6 +51,7 @@ def pairwise_acceleration(
     version: str = "v0",
     dataset: str = "gc1560",
     eps: float = 1e-6,
+    dv_from_velocity: bool = False,
 ) -> jax.Array:
     """Acceleration on agent i from neighbor j given relative (p, v) features.
 
@@ -59,6 +60,12 @@ def pairwise_acceleration(
     from the *position* channels for v1/v2 (src/utils/utils.py:67,84 —
     ``dv = relative_data[..., 0:2]``), making ``cos`` identically ~1.
     Returns (..., 2).
+
+    ``dv_from_velocity=True`` computes cos from the actual relative-velocity
+    channels instead.  With the reference quirk, cos ≡ 1 degenerates the v2
+    family to ``(A·e^C)·exp((B+D)·r)`` — C and D are unidentifiable from
+    the supervised messages no matter the fit; only the quirk-free variant
+    makes the direction terms recoverable (see sr.fit.fit_vector_force_law).
     """
     dr = relative_data[..., 0:2]
     r = jnp.linalg.norm(dr, axis=-1, keepdims=True) + eps
@@ -70,7 +77,7 @@ def pairwise_acceleration(
         return -acc * direction
 
     # The reference reads dv from the position channels; keep bit-parity.
-    dv = relative_data[..., 0:2]
+    dv = relative_data[..., 2:4] if dv_from_velocity else relative_data[..., 0:2]
     v = jnp.linalg.norm(dv, axis=-1, keepdims=True) + eps
     cos = jnp.sum(dr * dv, axis=-1, keepdims=True) / r / v
 

@@ -7,8 +7,10 @@ from piml_tpu.sr.extract import (  # noqa: F401
 from piml_tpu.sr.fit import (  # noqa: F401
     ForceLawFit,
     HAVE_PYSR,
+    VectorForceLawFit,
     fit_force_law,
     fit_force_law_mse,
+    fit_vector_force_law,
     symbolic_regression,
 )
 from piml_tpu.sr.gp import (  # noqa: F401

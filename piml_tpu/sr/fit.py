@@ -121,6 +121,82 @@ def fit_force_law_mse(
                        D=float(p[3]), r2=1.0 - ss_res / ss_tot)
 
 
+@dataclasses.dataclass
+class VectorForceLawFit:
+    A: float
+    B: float
+    C: float
+    D: float
+    theta_deg: float
+    r2: float  # linear-space, on the force components
+
+    def force(self, dr: np.ndarray, dv: np.ndarray,
+              eps: float = 1e-6) -> np.ndarray:
+        r = np.linalg.norm(dr, axis=-1, keepdims=True) + eps
+        e = dr / r
+        v = np.linalg.norm(dv, axis=-1, keepdims=True) + eps
+        cos = np.sum(dr * dv, axis=-1, keepdims=True) / r / v
+        mag = self.A * np.exp(self.B * r + self.C * cos + self.D * r * cos)
+        th = np.deg2rad(self.theta_deg)
+        rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        return -mag * (e @ rot.T)
+
+
+def fit_vector_force_law(
+    dr: np.ndarray, dv: np.ndarray, force: np.ndarray,
+    init: Optional[VectorForceLawFit] = None, eps: float = 1e-6,
+) -> VectorForceLawFit:
+    """Joint nonlinear least squares of the full VECTOR law
+    ``F⃗ = −A·exp(B·r + C·cosθ + D·r·cosθ) · R(θ_bias) · ê_r``
+    on per-edge (relative position, relative velocity, 2-D force) triples
+    (VERDICT r2 item 10).
+
+    The magnitude-only fit cannot see C/D when the supervision's cos is
+    degenerate (the reference's dv-from-dr quirk, utils.py:67,84 — cos ≡ 1
+    folds them into A·e^C and B+D); this fit recovers all five constants
+    whenever cos actually varies (quirk-free supervision,
+    ``pairwise_acceleration(dv_from_velocity=True)``).
+    """
+    dr = np.asarray(dr, np.float64)
+    dv = np.asarray(dv, np.float64)
+    force = np.asarray(force, np.float64)
+    if dr.size == 0:
+        return init or VectorForceLawFit(0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+    r = np.linalg.norm(dr, axis=-1, keepdims=True) + eps
+    e = dr / r
+    v = np.linalg.norm(dv, axis=-1, keepdims=True) + eps
+    cos = np.sum(dr * dv, axis=-1, keepdims=True) / r / v
+
+    def predict(p):
+        logA, B, C, D, th = p
+        mag = np.exp(np.clip(logA + B * r + C * cos + D * r * cos, -60, 60))
+        rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        return -mag * (e @ rot.T)
+
+    def resid(p):
+        return (predict(p) - force).ravel()
+
+    if init is None:
+        mag0 = np.linalg.norm(force, axis=-1)
+        p0 = np.array([np.log(max(mag0.max(), 1e-6)), -1.0, 0.0, 0.0, 0.0])
+    else:
+        p0 = np.array([np.log(max(init.A, 1e-6)), init.B, init.C, init.D,
+                       np.deg2rad(init.theta_deg)])
+
+    from scipy.optimize import least_squares
+
+    sol = least_squares(resid, p0, method="lm", max_nfev=5000)
+    p = sol.x
+    pred = predict(p)
+    ss_res = float(np.sum((force - pred) ** 2))
+    ss_tot = float(np.sum((force - force.mean(axis=0)) ** 2)) + 1e-12
+    return VectorForceLawFit(
+        A=float(np.exp(p[0])), B=float(p[1]), C=float(p[2]), D=float(p[3]),
+        theta_deg=float(np.rad2deg(p[4])), r2=1.0 - ss_res / ss_tot,
+    )
+
+
 def fit_direction_bias(direction: np.ndarray, sign_feature: np.ndarray) -> float:
     """Fit the angular bias theta (degrees): the discovered direction law is
     ``θ_force ≈ θ_r + sign · theta`` (reference MLAPM rotation,

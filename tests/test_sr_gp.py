@@ -83,3 +83,61 @@ def test_symbolic_regression_wrapper_uses_gp():
                                 seed=1)
     assert isinstance(model, GPSymbolicRegressor)
     assert model.best().loss < 1e-2
+
+
+def test_vector_force_law_fit_recovers_constants():
+    """The joint vector fit pins all five constants incl. C/D signs when
+    cos varies (quirk-free supervision); the magnitude-only degenerate case
+    collapses C/D into A·e^C and B+D (documented identifiability)."""
+    import numpy as np
+
+    from piml_tpu.sr.fit import VectorForceLawFit, fit_vector_force_law
+
+    rng = np.random.RandomState(0)
+    n = 4000
+    dr = rng.randn(n, 2) * 1.2
+    dv = rng.randn(n, 2)
+    true = VectorForceLawFit(A=9.0, B=-2.75, C=0.06, D=-0.3,
+                             theta_deg=10.0, r2=1.0)
+    F = true.force(dr, dv)
+    F = F + rng.randn(*F.shape) * np.abs(F) * 0.01  # 1% multiplicative noise
+
+    got = fit_vector_force_law(dr, dv, F)
+    assert got.r2 > 0.99
+    assert got.A == pytest.approx(9.0, rel=0.05)
+    assert got.B == pytest.approx(-2.75, rel=0.05)
+    assert got.C == pytest.approx(0.06, abs=0.03)
+    assert got.D == pytest.approx(-0.3, rel=0.15)
+    assert got.theta_deg == pytest.approx(10.0, abs=1.0)
+    # the signs the magnitude-only fit could never see
+    assert got.C > 0 and got.D < 0
+
+
+def test_quirk_supervision_degeneracy_is_measured():
+    """With the reference's dv-from-dr quirk (cos ≡ 1) the v2 family
+    degenerates: the analytic supervision equals (A·e^C)·exp((B+D)·r) and
+    the joint fit recovers the collapsed constants, not C/D."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from piml_tpu.physics import forces
+
+    rng = np.random.RandomState(1)
+    n = 2000
+    dr = rng.randn(n, 2).astype(np.float32)
+    dv = rng.randn(n, 2).astype(np.float32)
+    rel = np.concatenate([dr, dv, np.zeros((n, 2), np.float32)], axis=-1)
+
+    quirk = np.asarray(forces.pairwise_acceleration(
+        jnp.asarray(rel), "v2", "gc2344"))
+    r = np.linalg.norm(dr, axis=-1, keepdims=True) + 1e-6
+    A, B, C, D, theta = forces.SF_CONSTANTS["v2"]["gc2344"]
+    collapsed_mag = (A * np.exp(C)) * np.exp((B + D) * r)
+    np.testing.assert_allclose(np.linalg.norm(quirk, axis=-1, keepdims=True),
+                               collapsed_mag, rtol=1e-3)
+
+    # quirk-free supervision actually varies cos -> C/D live in the data
+    free = np.asarray(forces.pairwise_acceleration(
+        jnp.asarray(rel), "v2", "gc2344", dv_from_velocity=True))
+    assert not np.allclose(np.linalg.norm(free, axis=-1, keepdims=True),
+                           collapsed_mag, rtol=1e-2)
