@@ -201,10 +201,15 @@ def bench_dense_stress(roundtrip_s):
 V5E_PEAK_BF16 = 197e12  # one v5e chip, bf16 MXU peak FLOP/s
 
 
-def bench_train_step(roundtrip_s):
+def bench_train_step(roundtrip_s, batch_windows=32, remat=True):
     """One finetune BPTT step (reference hot loop simulators.py:659-832) at
-    paper hyperparameters: 32-window channel batch x 10-frame differentiable
-    rollout on the shipped GC scene, full loss stack, grads, Adam update."""
+    paper hyperparameters: ``batch_windows``-channel batch x 10-frame
+    differentiable rollout on the shipped GC scene, full loss stack, grads,
+    Adam update.  The paper step (C=32) is dispatch-latency-bound (its total
+    MXU work is ~17 us against a ~1 ms program); the compute-dense call
+    (C=512) shows the same engine amortizing toward compute — both are
+    reported with XLA's own FLOP/byte counts so the roofline position is
+    explicit."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -220,11 +225,12 @@ def bench_train_step(roundtrip_s):
 
     cfg = PIMLConfig(
         model="pinnsf_bm", dataset_name="gc2344", dropout=0.0, skip_frames=25,
-        valid_steps=10, ft_batch_size=32, learning_rate=2e-4,
+        valid_steps=10, ft_batch_size=batch_windows, learning_rate=2e-4,
         weight_decay=1e-6, finetune_lr_decay=0.02,
         collision_pred_weight=5e-2, collision_loss_weight=200.0,
         collision_focus_weight=1.0, hard_collision_penalty=2.0,
         time_decay=0.9, reg_weight=1e-2, collision_loss_version="v2",
+        remat_features=remat,
     )
     scene = Scene.load(GC_SCENE)
     data = make_time_indexed(cfg, scene)
@@ -270,25 +276,62 @@ def bench_train_step(roundtrip_s):
                                       length=STEPS)
         return jnp.sum(losses)
 
-    # XLA's own FLOP count for the compiled program (per STEPS steps)
+    # XLA's own FLOP/byte counts for the compiled program (per STEPS steps)
     lowered = run.lower(params, opt_state, batch)
     cost = lowered.compile().cost_analysis()
     flops_total = float(cost.get("flops", 0.0)) if cost else 0.0
+    bytes_total = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
 
     dt = _timed_scalar(run, params, opt_state, batch) - roundtrip_s
     dt = max(dt, 1e-6)
     per_step = dt / STEPS
     n_slots = batch.position.shape[2]
     flops_per_s = flops_total / dt if flops_total else 0.0
-    return {
+    out = {
         "batch_windows": int(batch.num_channels),
         "bptt_frames": int(batch.num_frames),
         "n_agent_slots": int(n_slots),
         "s_per_step": per_step,
         "steps_per_sec": 1.0 / per_step,
+        "windows_per_sec": batch.num_channels / per_step,
         "flops_per_step": flops_total / STEPS,
         "achieved_tflops": flops_per_s / 1e12,
         "mfu_vs_bf16_peak": flops_per_s / V5E_PEAK_BF16,
+    }
+    if bytes_total:
+        # roofline position: v5e ridge ~ 240 flop/byte (197 TF / 0.82 TB/s);
+        # intensity far below it = bandwidth/latency-bound by construction
+        out["bytes_per_step"] = bytes_total / STEPS
+        out["arith_intensity_flop_per_byte"] = flops_total / bytes_total
+        out["hbm_util_vs_819GBps"] = bytes_total / dt / 819e9
+    return out
+
+
+def bench_dense_metrics(roundtrip_s, frames=5):
+    """Metric suite at dense-stress scale (VERDICT r2 item 4): per-frame
+    Sinkhorn OT + multi-kernel MMD between two N=12,685 crowds through the
+    streaming chunked kernels (piml_tpu/metrics) — the dense matrices would
+    be 0.6-2.6 GB/frame; the reference's torch metrics cannot run here."""
+    import jax
+    import jax.numpy as jnp
+
+    from piml_tpu.metrics import mmd_with_time_mask, ot_with_time_mask
+
+    n = STRESS_N
+    key = jax.random.PRNGKey(7)
+    p = jax.random.uniform(key, (frames, n, 2)) * 200.0
+    q = p + jax.random.normal(jax.random.PRNGKey(8), (frames, n, 2)) * 0.5
+    mask = jnp.ones((frames, n))
+
+    run = jax.jit(lambda a, b, m: ot_with_time_mask(a, b, m, "mean")
+                  + mmd_with_time_mask(a, b, m, "mean"))
+    dt = _timed_scalar(run, p, q, mask, reps=2) - roundtrip_s
+    dt = max(dt, 1e-6)
+    return {
+        "n_agents": n,
+        "frames": frames,
+        "wall_s": dt,
+        "ms_per_frame_ot_plus_mmd": dt / frames * 1e3,
     }
 
 
@@ -296,7 +339,9 @@ def main():
     roundtrip = measure_roundtrip()
     gc = bench_gc_window(roundtrip)
     stress = bench_dense_stress(roundtrip)
+    dense_metrics = bench_dense_metrics(roundtrip)
     train = bench_train_step(roundtrip)
+    train_dense = bench_train_step(roundtrip, batch_windows=512, remat=False)
 
     vs_baseline = None
     stress_vs = None
@@ -324,7 +369,9 @@ def main():
             "gc_window": {k: round(v, 4) for k, v in gc.items()},
             "dense_12685_stress": {k: round(v, 4) for k, v in stress.items()},
             "dense_12685_vs_baseline": round(stress_vs, 2) if stress_vs else None,
+            "dense_12685_metrics": {k: round(v, 4) for k, v in dense_metrics.items()},
             "finetune_train_step": {k: round(v, 6) for k, v in train.items()},
+            "finetune_train_step_dense": {k: round(v, 6) for k, v in train_dense.items()},
         },
     }))
 

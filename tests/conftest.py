@@ -3,24 +3,28 @@ exercised without TPU hardware (the driver separately dry-runs multichip)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force off any ambient TPU platform
+TPU_GUARDS = os.environ.get("PIML_RUN_TPU_GUARDS") == "1"
+
 os.environ["PIML_FEATURE_CACHE"] = "0"  # tests always rebuild features
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if not TPU_GUARDS:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force off any ambient TPU platform
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The axon plugin overrides JAX_PLATFORMS at import; force CPU
-# programmatically so the 8-device virtual mesh is available.  The CPU test
-# cache is kept separate from the TPU cache (CPU AOT entries are
-# machine-feature-sensitive).
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/piml_jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if not TPU_GUARDS:
+    # The axon plugin overrides JAX_PLATFORMS at import; force CPU
+    # programmatically so the 8-device virtual mesh is available.  The CPU
+    # test cache is kept separate from the TPU cache (CPU AOT entries are
+    # machine-feature-sensitive).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/piml_jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

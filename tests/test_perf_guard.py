@@ -1,0 +1,82 @@
+"""TPU performance regression guards (VERDICT r2 item 9).
+
+These tests only run on a real TPU backend (the CI/virtual-CPU mesh skips
+them): they pin the measured dense-stress rollout cost so edits to the
+Pallas pair kernel / engine cannot silently regress the headline numbers.
+Run manually with:  PIML_RUN_TPU_GUARDS=1 python -m pytest tests/test_perf_guard.py
+(outside the CPU-forced conftest env, i.e. JAX_PLATFORMS unset).
+"""
+
+import os
+import time
+
+import pytest
+
+# round-2 measured 6.3 ms/frame at N=12,685; guard at 2x headroom for
+# tunnel noise
+STRESS_MS_PER_FRAME_LIMIT = 13.0
+
+
+def _on_tpu():
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("PIML_RUN_TPU_GUARDS") != "1" or not _on_tpu(),
+    reason="TPU perf guard: needs PIML_RUN_TPU_GUARDS=1 and a TPU backend",
+)
+
+
+def test_dense_stress_ms_per_frame_guard():
+    import jax
+    import jax.numpy as jnp
+
+    from piml_tpu.engine import EngineConfig, init_state, rollout
+    from piml_tpu.engine.rollout import SpawnFrame
+    from piml_tpu.physics import NeighborConfig, relative_features
+
+    n, T = 12685, 20
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    pos = jax.random.uniform(ks[0], (n, 2)) * 200.0
+    vel = jax.random.normal(ks[1], (n, 2))
+    acc = jnp.zeros((n, 2))
+    wp = jax.random.uniform(ks[2], (1, n, 2)) * 200.0
+    obstacles = jax.random.uniform(ks[3], (4096, 2)) * 200.0
+    ds = jnp.full((n, 1), 1.34)
+
+    ncfg = NeighborConfig()
+    ecfg = EngineConfig(neighbor=ncfg, time_unit=0.08, lagged=True,
+                        retire_on_arrival=True, remat=False)
+
+    from bench import _model_and_cfg, measure_roundtrip
+
+    _, params, apply_fn = _model_and_cfg((6, 6, 7), 0.08)
+    pf, of, df = relative_features(pos, vel, acc, wp[0], obstacles, ncfg)
+    sf = jnp.concatenate([df, vel, acc, ds], axis=-1)
+    state = init_state(pos, vel, acc, wp[0], jnp.zeros(n, jnp.int32),
+                       pf, of, sf)
+    zeros2 = jnp.zeros((T, n, 2))
+    spawns = SpawnFrame(new=jnp.zeros((T, n)), p=zeros2, v=zeros2, a=zeros2,
+                        dest=zeros2, dest_idx=jnp.zeros((T, n), jnp.int32),
+                        hist_v=jnp.zeros((T, n, 2)))
+
+    run = jax.jit(lambda p, s: jnp.nansum(rollout(
+        p, apply_fn, ecfg, s, spawns, wp, jnp.ones(n, jnp.int32),
+        obstacles, ds)[1].p))
+    rt = measure_roundtrip()
+    float(run(params, state))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(params, state))
+        best = min(best, time.perf_counter() - t0)
+    ms_per_frame = max(best - rt, 1e-6) / T * 1e3
+    assert ms_per_frame < STRESS_MS_PER_FRAME_LIMIT, (
+        f"dense stress regressed: {ms_per_frame:.2f} ms/frame "
+        f"(limit {STRESS_MS_PER_FRAME_LIMIT})"
+    )
