@@ -131,7 +131,12 @@ def main():
     ap.add_argument("--tag", type=str, default="full")
     ap.add_argument("--skip_pretrain", action="store_true",
                     help="reuse the existing pretrain checkpoint")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip all training; evaluate the existing pretrain "
+                         "and finetuned checkpoints on the test window")
     cli = ap.parse_args()
+    if cli.eval_only:
+        cli.skip_pretrain = True
 
     cwd = setup_rundir()
     os.chdir(cwd)
@@ -232,6 +237,15 @@ def main():
     out["pretrained_eval_s"] = time.time() - t0
     print("pretrained:", json.dumps(out["pretrained_eval"]))
     _save(out, cli.tag)
+
+    if cli.eval_only:
+        simulator.load_model(args, set_model=True, finetune_flag=True)
+        simulator.finetune_flag = True
+        out["finetuned_eval"] = eval_row(simulator, real_dataset.test_data)
+        print("finetuned:", json.dumps(out["finetuned_eval"]))
+        out["total_s"] = time.time() - t_all
+        _save(out, cli.tag)
+        return
 
     ft_loaders = LOADER.data_loader(
         real_dataset.train_data, args.f_batch_size, args.seed,
