@@ -138,6 +138,10 @@ class PIMLConfig:
     new_collision_loss_flag: bool = False
     collision_loss_version: str = "v0"  # v0 | v2 (abnormal-mask gated)
     pinnsf_interaction: str = "sim"    # sim | loss (analytic-SF message supervision)
+    sf_dv_from_velocity: bool = False  # quirk-free v2 supervision: cos from the
+                                       # velocity channels (reference reads dv
+                                       # from dr, utils.py:67,84 — cos ≡ 1, so
+                                       # C/D are unidentifiable; see PARITY §2.6)
     true_label_weight: float = 0.0
     iter_flag: bool = False            # SR-iteration flag: v2 supervision constants
     iter_model_name_suffix: str = ""

@@ -3,6 +3,7 @@ from piml_tpu.sr.extract import (  # noqa: F401
     post_filter,
     prepare_symbolic_regression_data,
     prepare_symbolic_regression_data_polar,
+    prepare_vector_regression_data,
 )
 from piml_tpu.sr.fit import (  # noqa: F401
     ForceLawFit,

@@ -73,6 +73,24 @@ def prepare_symbolic_regression_data(
     return features, labels
 
 
+def prepare_vector_regression_data(
+    params, apply_fn, data: PointwiseData
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(dr (E, 2), dv (E, 2), F (E, 2)) raw per-edge triples for the joint
+    vector force-law fit (sr.fit.fit_vector_force_law) — bottleneck models
+    only (per-edge 2-D forces).  Padding edges (all-zero raw rows) dropped."""
+    out = apply_fn(params, data.ped_features, data.obs_features,
+                   data.self_features)
+    feats = data.ped_features.reshape(-1, data.ped_features.shape[-1])
+    p_msg = out.ped_msgs.reshape(-1, out.ped_msgs.shape[-1])
+    assert p_msg.shape[-1] == 2, (
+        "vector regression needs a bottleneck model (per-edge 2-D forces)"
+    )
+    keep = np.asarray(jnp.sum(jnp.abs(feats), axis=-1) > 0)
+    feats = np.asarray(feats)[keep]
+    return feats[:, 0:2], feats[:, 2:4], np.asarray(p_msg)[keep]
+
+
 def prepare_symbolic_regression_data_polar(
     params, apply_fn, data: PointwiseData
 ) -> Tuple[np.ndarray, np.ndarray]:

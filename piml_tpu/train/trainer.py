@@ -243,8 +243,9 @@ class Trainer:
         pred, p_msg = out.pred_acc, out.ped_msgs
         if cfg.pinnsf_interaction == "loss":
             sf_version = "v2" if cfg.iter_flag else "v0"
-            analytic = forces.pairwise_acceleration(ped, sf_version,
-                                                    cfg.dataset_name)
+            analytic = forces.pairwise_acceleration(
+                ped, sf_version, cfg.dataset_name,
+                dv_from_velocity=cfg.sf_dv_from_velocity)
             mse = (jnp.sum((p_msg - analytic) ** 2)
                    + cfg.true_label_weight
                    * jnp.sum((pred - labels[:, 4:6]) ** 2))
@@ -325,7 +326,8 @@ class Trainer:
                     # misaligned signal stops message fitting ~100× early
                     sf_version = "v2" if cfg.iter_flag else "v0"
                     analytic = forces.pairwise_acceleration(
-                        ped, sf_version, cfg.dataset_name)
+                        ped, sf_version, cfg.dataset_name,
+                        dv_from_velocity=cfg.sf_dv_from_velocity)
                     err = jnp.sum((out.ped_msgs - analytic) ** 2,
                                   axis=(-2, -1)) * m
                 else:

@@ -55,6 +55,11 @@ def main():
                     help="data config name under configs/data_configs/")
     ap.add_argument("--append_md", type=int, default=0,
                     help="append the fit table to RESULTS.md")
+    ap.add_argument("--vector", type=int, default=0,
+                    help="joint vector force-law fit instead of the "
+                         "magnitude/direction pipeline")
+    ap.add_argument("--out", default="",
+                    help="output json filename (vector mode)")
     cli = ap.parse_args()
 
     cfg = PIMLConfig(
@@ -79,6 +84,34 @@ def main():
     )
     params = load_params(ckpt, template)
     apply_fn = lambda p, pf, of, sf: model.apply(p, pf, of, sf)
+
+    if cli.vector:
+        # joint vector fit (VERDICT r2 item 10): all five constants from
+        # the raw per-edge (dr, dv, F) triples — requires a checkpoint whose
+        # supervision actually varied cos (sf_dv_from_velocity), else C/D
+        # are unidentifiable (PARITY §2.6)
+        from piml_tpu.sr import fit_vector_force_law, prepare_vector_regression_data
+
+        dr, dv, F = prepare_vector_regression_data(params, apply_fn,
+                                                   ds.train_data)
+        # focus the fit where force is informative (near pairs), like the
+        # reference's direction_filter percentile gate
+        mag = np.linalg.norm(F, axis=-1)
+        keep = mag > np.percentile(mag, 50)
+        vfit = fit_vector_force_law(dr[keep], dv[keep], F[keep])
+        print(f"vector fit: A={vfit.A:.3f} B={vfit.B:.3f} C={vfit.C:.4f} "
+              f"D={vfit.D:.3f} theta={vfit.theta_deg:.2f}deg r2={vfit.r2:.3f}")
+        out = {
+            "checkpoint": ckpt, "edges": int(dr.shape[0]),
+            "vector_fit": {"A": vfit.A, "B": vfit.B, "C": vfit.C, "D": vfit.D,
+                           "theta_deg": vfit.theta_deg, "r2": vfit.r2},
+            "supervision_v2": {"A": 9.0, "B": -2.75, "C": 0.06, "D": -0.3,
+                               "theta_deg": 10.0},
+        }
+        with open(os.path.join(ROOT, cli.out or "sr_gc_vector.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", cli.out or "sr_gc_vector.json")
+        return 0
 
     features, labels = prepare_symbolic_regression_data(
         params, apply_fn, ds.train_data
