@@ -68,6 +68,26 @@ def _update(frame_num: int, scene: Scene, actors, show_speed=False,
     return drawn
 
 
+def _save_animation(ani, movie_file: str, writer):
+    """Writer selection with graceful degradation: .mp4 needs ffmpeg (the
+    reference assumes it, visualization.py:93; absent in this image) — fall
+    back to an animated GIF next to the requested path; .html uses
+    matplotlib's standalone HTML player (always available)."""
+    import warnings
+
+    import matplotlib.animation as animation
+
+    if writer is None and movie_file.endswith(".html"):
+        writer = animation.HTMLWriter(fps=12)
+    if writer is None and movie_file.endswith(".mp4") \
+            and not animation.writers.is_available("ffmpeg"):
+        fallback = movie_file[:-4] + ".gif"
+        warnings.warn(f"ffmpeg unavailable; writing {fallback} instead")
+        movie_file = fallback
+    ani.save(movie_file, writer=writer, dpi=200)
+    return movie_file
+
+
 def state_animation(ax, scene: Scene, *, movie_file: Optional[str] = None,
                     writer=None, show_speed: bool = False):
     """Animate one scene (reference: visualization.py:76-95)."""
@@ -79,7 +99,7 @@ def state_animation(ax, scene: Scene, *, movie_file: Optional[str] = None,
         frames=scene.num_steps, interval=scene.time_unit * 1000.0, blit=True,
     )
     if movie_file:
-        ani.save(movie_file, writer=writer, dpi=200)
+        _save_animation(ani, movie_file, writer)
     return ani
 
 
@@ -103,5 +123,5 @@ def state_animation_compare(ax, scene1: Scene, scene2: Scene, *,
         interval=scene2.time_unit * 1000.0, blit=True,
     )
     if movie_file:
-        ani.save(movie_file, writer=writer, dpi=200)
+        _save_animation(ani, movie_file, writer)
     return ani

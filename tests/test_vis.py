@@ -52,3 +52,39 @@ def test_animation_export_gif(tmp_path):
                     writer=animation.PillowWriter(fps=5))
     plt.close(fig)
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_animation_html_and_mp4_fallback(tmp_path, toy_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from piml_tpu.scene import Scene
+    from piml_tpu.utils.vis import state_animation
+
+    import jax
+
+    scene = Scene.load(toy_path)
+    T = scene.num_steps
+    # 3-frame slice keeps the render cheap (writers rasterize every frame)
+    small = jax.tree_util.tree_map(
+        lambda x: x[:3] if hasattr(x, "shape") and x.shape and x.shape[0] == T
+        else x, scene)
+
+    fig, ax = plt.subplots()
+    html = str(tmp_path / "anim.html")
+    state_animation(ax, small, movie_file=html)
+    assert (tmp_path / "anim.html").stat().st_size > 0
+    plt.close(fig)
+
+    fig, ax = plt.subplots()
+    mp4 = str(tmp_path / "anim.mp4")
+    import warnings
+
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        state_animation(ax, small, movie_file=mp4)
+    # ffmpeg absent in this image -> graceful GIF fallback
+    assert (tmp_path / "anim.gif").exists() or (tmp_path / "anim.mp4").exists()
+    plt.close(fig)
