@@ -5,6 +5,7 @@ from piml_tpu.parallel.sharding import (  # noqa: F401
     replicate,
     pad_channels,
     shard_channeled_batch,
+    shard_stacked_channeled,
     shard_leading,
 )
 from piml_tpu.parallel.agent_shard import (  # noqa: F401

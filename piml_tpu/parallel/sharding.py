@@ -160,3 +160,38 @@ def make_dp_pointwise_step(cfg: PIMLConfig, model, tx, mesh: Mesh):
         return params2, opt_state2, loss
 
     return step
+
+
+def shard_stacked_channeled(stacked: ChanneledData, mesh: Mesh,
+                            axis: str = "dp") -> ChanneledData:
+    """Shard a STACKED scan input of window batches (leading axis =
+    batches-per-epoch, second axis = window channels) over the mesh's
+    channel axis: per-channel tensors get P(None, axis), per-scene statics
+    replicate.  Channels must already divide the axis (pad each batch with
+    :func:`pad_channels` before stacking)."""
+    n = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P(None, axis))
+    c = jax.tree_util.tree_leaves(stacked.ped_features)[0].shape[1]
+    assert c % n == 0, f"stacked channel axis {c} must divide mesh ({n})"
+
+    statics = {"dest_num", "waypoints", "obstacles", "desired_speed",
+               "abnormal_mask"}
+
+    def put(x, name):
+        if name not in statics and hasattr(x, "ndim") and x.ndim >= 2 \
+                and x.shape[1] == c:
+            return jax.device_put(x, dp)
+        return jax.device_put(x, repl)
+
+    fields = {
+        name: put(getattr(stacked, name), name)
+        for name in (
+            "ped_features", "obs_features", "self_features", "labels",
+            "mask_p", "mask_v", "mask_a", "mask_p_pred", "mask_v_pred",
+            "mask_a_pred", "position", "velocity", "acceleration",
+            "destination", "dest_idx", "abnormal_mask", "dest_num",
+            "waypoints", "obstacles", "desired_speed",
+        )
+    }
+    return stacked.replace(**fields)

@@ -477,8 +477,7 @@ class Trainer:
             params2 = optax.apply_updates(params, updates)
             return params2, opt_state2, out
 
-        @jax.jit
-        def ft_epoch(params, opt_state, stacked: ChanneledData, epoch_key):
+        def ft_epoch_fn(params, opt_state, stacked: ChanneledData, epoch_key):
             """lax.scan over a same-shape stack of window batches: one
             dispatch + one host sync per group per epoch instead of per
             batch (the reference's per-batch loop is simulators.py:317-326;
@@ -499,9 +498,14 @@ class Trainer:
                 lambda x: jnp.sum(x), outs
             )
 
+        ft_epoch = jax.jit(ft_epoch_fn)
+
         def validate() -> float:
-            m = evaluate_rollouts(state.params, apply_fn, cfg, valid_data,
-                                  test_flag=False)
+            # device_get first: under channel-DP the params live replicated
+            # on the mesh while the eval data is uncommitted — mixing the
+            # two in one jit raises a device-assignment error
+            m = evaluate_rollouts(jax.device_get(state.params), apply_fn,
+                                  cfg, valid_data, test_flag=False)
             self.logger.log(val_loss=m.loss, val_mse=m.mse,
                             val_coll=m.collision, val_hard_coll=m.hard_collision)
             return m.loss
@@ -523,6 +527,21 @@ class Trainer:
         # meta_data is a static pytree field that differs per source scene
         # (begin_frame etc.) — normalize it so same-shape batches from
         # different scenes stack into one scan.
+        dp_mesh = None
+        if cfg.n_devices > 1:
+            # channel data parallel over a device mesh: batches pad their
+            # channel axis to the mesh size (inert channels, loss-neutral),
+            # stacked scan inputs shard P(None, 'dp'), params/opt replicate —
+            # XLA inserts the gradient all-reduce over ICI
+            from piml_tpu.parallel import make_mesh, pad_channels, replicate
+
+            dp_mesh = make_mesh(cfg.n_devices)
+            self.logger.info(f"finetune: channel-DP over {cfg.n_devices} devices")
+            train_batches = [pad_channels(b, cfg.n_devices)
+                             for b in train_batches]
+            state.params = replicate(state.params, dp_mesh)
+            state.opt_state = replicate(state.opt_state, dp_mesh)
+
         groups: Dict[tuple, list] = {}
         for batch in train_batches:
             tu = batch.meta_data.get("time_unit", cfg.time_unit)
@@ -534,6 +553,14 @@ class Trainer:
             jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs)
             for bs in groups.values()
         ]
+        if dp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from piml_tpu.parallel import shard_stacked_channeled
+
+            stacks = [shard_stacked_channeled(s, dp_mesh) for s in stacks]
+            repl = NamedSharding(dp_mesh, P())
+            ft_epoch = jax.jit(ft_epoch_fn, out_shardings=(repl, repl, None))
         n_train = max(sum(
             int(np.sum(np.asarray(b.mask_p_pred) == 1)) for b in train_batches
         ), 1)
@@ -583,8 +610,11 @@ class Trainer:
 
         # final evaluation uses the best-validation checkpoint
         # (reference: finetune → test_multiple_rollouts with load_model=True,
-        # simulators.py:427,563-564)
-        state.params = best_params
+        # simulators.py:427,563-564).  device_get: hand back host arrays so
+        # callers are indifferent to whether channel-DP placed the params on
+        # a mesh
+        state.params = jax.device_get(best_params)
+        state.opt_state = jax.device_get(state.opt_state)
         if test_data:
             m = evaluate_rollouts(state.params, apply_fn, cfg, test_data,
                                   test_flag=True)

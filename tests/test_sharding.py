@@ -184,3 +184,45 @@ def test_dp_soak_multi_epoch_ragged_channels(eight_devices):
                     jax.tree_util.tree_leaves(p_d)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_trainer_finetune_channel_dp(eight_devices, tmp_path):
+    """cfg.n_devices wires channel-DP through Trainer.finetune end-to-end:
+    same best-val trajectory as single-device on the toy pipeline."""
+    import jax.numpy as jnp
+
+    from piml_tpu.config import PIMLConfig
+    from piml_tpu.data import make_time_indexed, to_channeled
+    from piml_tpu.scene import Scene
+    from piml_tpu.train import Trainer
+    from piml_tpu.utils import MetricLogger
+
+    def run(n_devices, tag):
+        cfg = PIMLConfig(
+            skip_frames=5, valid_steps=5, encoder_hidden_size=16,
+            encoder_hidden_layers=2, processor_hidden_size=16,
+            processor_hidden_layers=2, decoder_hidden_size=8,
+            decoder_hidden_layers=2, dropout=0.0, model="pinnsf_bm",
+            epochs=2, ft_batch_size=4, collision_pred_weight=0.0,
+            reg_weight=0.0, n_devices=n_devices,
+            save_dir=str(tmp_path / tag), model_name_suffix=tag,
+        )
+        scene = Scene.load("/root/reference/data/GC_Dataset/GC_Dataset_toy1.npy")
+        data = make_time_indexed(cfg, scene)
+        cfg = cfg.replace(self_feature_dim=int(data.self_features.shape[-1]),
+                          ped_feature_dim=int(data.ped_features.shape[-1]),
+                          obs_feature_dim=int(data.obs_features.shape[-1]))
+        ch = to_channeled(data, cfg.valid_steps, "slice")
+        batch = ch.slice_channels(np.arange(4))
+        trainer = Trainer(cfg, MetricLogger())
+        st = trainer.finetune([batch], [data], None, pretrained=None)
+        return float(st.best_val), st.params
+
+    val_1, p_1 = run(0, "single")
+    val_8, p_8 = run(8, "dp8")
+    assert val_8 == pytest.approx(val_1, rel=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(p_1),
+                    jax.tree_util.tree_leaves(p_8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
