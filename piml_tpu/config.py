@@ -154,7 +154,11 @@ class PIMLConfig:
     # ----- TPU execution -----
     # (NN-path compute dtype is `compute_dtype` above; this section holds
     # device-level knobs)
-    n_devices: int = 0                 # 0 = all local devices; batch/channel data parallel
+    n_devices: int = 0                 # >1: channel data-parallel finetune over a
+                                       # device mesh (Trainer.finetune); 0/1 = single
+                                       # device.  Pointwise pretrain stays single-
+                                       # device (72 s at paper budget — not worth
+                                       # the gather/all-reduce restructuring)
     donate_state: bool = True
     remat_features: bool = True        # jax.checkpoint on the per-step feature pass
 
