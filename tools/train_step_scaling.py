@@ -41,7 +41,8 @@ def measure_roundtrip():
     return (time.perf_counter() - t0) / 10
 
 
-def bench_one(data, C, width, remat, roundtrip_s, steps=10, reps=3):
+def bench_one(data, C, width, remat, roundtrip_s, steps=10, reps=3,
+              dtype="float32"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -61,7 +62,7 @@ def bench_one(data, C, width, remat, roundtrip_s, steps=10, reps=3):
         time_decay=0.9, reg_weight=1e-2, collision_loss_version="v2",
         encoder_hidden_size=width, processor_hidden_size=width,
         decoder_hidden_size=width // 2,
-        remat_features=remat,
+        remat_features=remat, compute_dtype=dtype,
         ped_feature_dim=data.feature_dims[0],
         obs_feature_dim=data.feature_dims[1],
         self_feature_dim=data.feature_dims[2],
@@ -113,7 +114,7 @@ def bench_one(data, C, width, remat, roundtrip_s, steps=10, reps=3):
     per_step = dt / steps
     fps = flops_total / dt
     return {
-        "C": C, "width": width, "remat": remat,
+        "C": C, "width": width, "remat": remat, "dtype": dtype,
         "s_per_step": per_step,
         "windows_per_s": C / per_step,
         "flops_per_step": flops_total / steps,
@@ -140,18 +141,23 @@ def main():
         scene)
 
     grid = [
-        (32, 128, True),    # paper step (round-2 bench point)
-        (32, 128, False),   # remat off
-        (128, 128, False),
-        (512, 128, False),  # compute-dense batch
-        (512, 512, False),  # compute-dense batch + wide model
+        (32, 128, True, "float32"),    # paper step (round-2 bench point)
+        (32, 128, False, "float32"),   # remat off
+        (128, 128, False, "float32"),
+        (512, 128, False, "float32"),  # compute-dense batch
+        (512, 512, False, "float32"),  # compute-dense batch + wide model
+        (512, 512, False, "bfloat16"),  # + bf16 MXU path
     ]
     if cli.quick:
         grid = grid[:2]
 
     rows = []
-    for C, width, remat in grid:
-        r = bench_one(data, C, width, remat, rt)
+    for C, width, remat, dtype in grid:
+        try:
+            r = bench_one(data, C, width, remat, rt, dtype=dtype)
+        except Exception as e:  # keep the sweep alive past one bad config
+            r = {"C": C, "width": width, "remat": remat, "dtype": dtype,
+                 "error": repr(e)[:300]}
         rows.append(r)
         print(json.dumps(r), flush=True)
 
