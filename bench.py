@@ -335,13 +335,27 @@ def bench_dense_metrics(roundtrip_s, frames=5):
     }
 
 
+def _safe(fn, *args, **kw):
+    """One flaky regime (e.g. a tunnel remote-compile 500 on the largest
+    program) must not kill the headline bench."""
+    try:
+        return fn(*args, **kw)
+    except Exception as e:  # pragma: no cover
+        return {"error": repr(e)[:300]}
+
+
 def main():
     roundtrip = measure_roundtrip()
     gc = bench_gc_window(roundtrip)
-    stress = bench_dense_stress(roundtrip)
-    dense_metrics = bench_dense_metrics(roundtrip)
-    train = bench_train_step(roundtrip)
-    train_dense = bench_train_step(roundtrip, batch_windows=512, remat=False)
+    stress = _safe(bench_dense_stress, roundtrip)
+    dense_metrics = _safe(bench_dense_metrics, roundtrip)
+    train = _safe(bench_train_step, roundtrip)
+    # batch-scaling point: windows/s is ~flat in C (the step is VPU-bound in
+    # the O(C·N²) per-frame feature/collision work, not dispatch-bound —
+    # measured in train_step_scaling.json), so C=128 is a representative
+    # larger-program point; C=512 overflows the tunnel compile helper
+    train_dense = _safe(bench_train_step, roundtrip, batch_windows=128,
+                        remat=False)
 
     vs_baseline = None
     stress_vs = None
@@ -353,11 +367,15 @@ def main():
         if ref:
             vs_baseline = gc["slot_steps_per_sec"] / ref
         ref_big = base.get("dense_12685", {}).get("agent_steps_per_sec")
-        if ref_big:
+        if ref_big and "slot_steps_per_sec" in stress:
             stress_vs = stress["slot_steps_per_sec"] / ref_big
         ref_ts = base.get("train_step", {}).get("s_per_step")
-        if ref_ts:
+        if ref_ts and "s_per_step" in train:
             train["vs_baseline"] = ref_ts / train["s_per_step"]
+
+    def r(d, nd=4):
+        return {k: (round(v, nd) if isinstance(v, float) else v)
+                for k, v in d.items()}
 
     print(json.dumps({
         "metric": "GC-window closed-loop rollout agent-steps/sec",
@@ -366,12 +384,12 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "extra": {
             "tunnel_roundtrip_ms": round(roundtrip * 1e3, 2),
-            "gc_window": {k: round(v, 4) for k, v in gc.items()},
-            "dense_12685_stress": {k: round(v, 4) for k, v in stress.items()},
+            "gc_window": r(gc),
+            "dense_12685_stress": r(stress),
             "dense_12685_vs_baseline": round(stress_vs, 2) if stress_vs else None,
-            "dense_12685_metrics": {k: round(v, 4) for k, v in dense_metrics.items()},
-            "finetune_train_step": {k: round(v, 6) for k, v in train.items()},
-            "finetune_train_step_dense": {k: round(v, 6) for k, v in train_dense.items()},
+            "dense_12685_metrics": r(dense_metrics),
+            "finetune_train_step": r(train, 6),
+            "finetune_train_step_dense": r(train_dense, 6),
         },
     }))
 
