@@ -75,18 +75,24 @@ class Scene:
 
     @classmethod
     def from_arrays(cls, d: Dict[str, np.ndarray]) -> "Scene":
+        # HOST arrays by design: scene I/O, hashing (feature-cache keys) and
+        # wrangling are host-side — eager jnp.asarray here parked every scene
+        # on the TPU and made np.asarray(scene.position) a device-to-host
+        # pull through the tunnel, which can block for minutes when another
+        # process holds the chip (measured: the round-3 iter0v hang).  The
+        # jitted compute transfers exactly what it needs, when it needs it.
         return cls(
-            position=jnp.asarray(d["position"], jnp.float32),
-            velocity=jnp.asarray(d["velocity"], jnp.float32),
-            acceleration=jnp.asarray(d["acceleration"], jnp.float32),
-            destination=jnp.asarray(d["destination"], jnp.float32),
-            waypoints=jnp.asarray(d["waypoints"], jnp.float32),
-            dest_idx=jnp.asarray(d["dest_idx"], jnp.int32),
-            dest_num=jnp.asarray(d["dest_num"], jnp.int32),
-            obstacles=jnp.asarray(d["obstacles"], jnp.float32),
-            mask_p=jnp.asarray(d["mask_p"], jnp.float32),
-            mask_v=jnp.asarray(d["mask_v"], jnp.float32),
-            mask_a=jnp.asarray(d["mask_a"], jnp.float32),
+            position=np.asarray(d["position"], np.float32),
+            velocity=np.asarray(d["velocity"], np.float32),
+            acceleration=np.asarray(d["acceleration"], np.float32),
+            destination=np.asarray(d["destination"], np.float32),
+            waypoints=np.asarray(d["waypoints"], np.float32),
+            dest_idx=np.asarray(d["dest_idx"], np.int32),
+            dest_num=np.asarray(d["dest_num"], np.int32),
+            obstacles=np.asarray(d["obstacles"], np.float32),
+            mask_p=np.asarray(d["mask_p"], np.float32),
+            mask_v=np.asarray(d["mask_v"], np.float32),
+            mask_a=np.asarray(d["mask_a"], np.float32),
             meta_data=d["meta_data"],
         )
 
