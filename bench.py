@@ -201,7 +201,7 @@ def bench_dense_stress(roundtrip_s):
 V5E_PEAK_BF16 = 197e12  # one v5e chip, bf16 MXU peak FLOP/s
 
 
-def bench_train_step(roundtrip_s, batch_windows=32, remat=True):
+def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0):
     """One finetune BPTT step (reference hot loop simulators.py:659-832) at
     paper hyperparameters: ``batch_windows``-channel batch x 10-frame
     differentiable rollout on the shipped GC scene, full loss stack, grads,
@@ -230,7 +230,7 @@ def bench_train_step(roundtrip_s, batch_windows=32, remat=True):
         collision_pred_weight=5e-2, collision_loss_weight=200.0,
         collision_focus_weight=1.0, hard_collision_penalty=2.0,
         time_decay=0.9, reg_weight=1e-2, collision_loss_version="v2",
-        remat_features=remat,
+        remat_features=remat, bptt_unroll=unroll,
     )
     scene = Scene.load(GC_SCENE)
     data = make_time_indexed(cfg, scene)

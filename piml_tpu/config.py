@@ -160,7 +160,17 @@ class PIMLConfig:
                                        # device (72 s at paper budget — not worth
                                        # the gather/all-reduce restructuring)
     donate_state: bool = True
-    remat_features: bool = True        # jax.checkpoint on the per-step feature pass
+    remat_features: Optional[bool] = None  # jax.checkpoint on the rollout step
+                                       # for BPTT; None = auto (off for small
+                                       # steps, which are kernel-launch bound;
+                                       # on at dense sizes where live
+                                       # activations would dominate HBM)
+    bptt_unroll: int = 0               # scan unroll for the finetune BPTT
+                                       # rollout; 0 = auto (full unroll for
+                                       # small steps so XLA fuses across time
+                                       # steps; 1 at dense sizes).  Measured
+                                       # at paper size: 14.4 -> 10.5 ms/step
+                                       # (train_step_fusion.json)
 
     def __post_init__(self):
         if not self.model_name_suffix:

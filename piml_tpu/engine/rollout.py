@@ -52,6 +52,10 @@ class EngineConfig:
     collision_threshold: float = 0.5
     track_collision_labels: bool = False  # pinnsf_bm multitask bookkeeping
     remat: bool = True              # checkpoint the step for BPTT memory
+    unroll: int = 1                 # lax.scan unroll factor — short BPTT
+                                    # windows are latency-bound (~200 small
+                                    # kernels/step at paper size); unrolling
+                                    # lets XLA fuse across time steps
     shard_agents: bool = False      # N² pair pass via the ICI ring
                                     # (parallel/agent_shard.py); requires a
                                     # mesh passed to make_step/rollout and
@@ -294,7 +298,8 @@ def rollout(
         return step(params, carry, xs)
 
     return jax.lax.scan(body, state,
-                        (spawns, step_rngs) if stochastic else spawns)
+                        (spawns, step_rngs) if stochastic else spawns,
+                        unroll=cfg.unroll)
 
 
 def spawn_frames_from_scene(

@@ -38,7 +38,11 @@ from piml_tpu.train import losses  # module import only — no package __init__ 
 
 
 def engine_config(cfg: PIMLConfig, *, retire: bool, track_collisions: bool,
-                  track_labels: bool, shard_agents: bool = False) -> EngineConfig:
+                  track_labels: bool, shard_agents: bool = False,
+                  unroll: int = 1) -> EngineConfig:
+    # remat only matters under grad (the finetune path resolves its own
+    # auto policy); forward-only rollouts treat jax.checkpoint as a no-op
+    remat = True if cfg.remat_features is None else cfg.remat_features
     return EngineConfig(
         neighbor=neighbor_config(cfg),
         time_unit=cfg.time_unit,
@@ -47,7 +51,8 @@ def engine_config(cfg: PIMLConfig, *, retire: bool, track_collisions: bool,
         track_collisions=track_collisions,
         collision_threshold=cfg.collision_threshold,
         track_collision_labels=track_labels,
-        remat=cfg.remat_features,
+        remat=remat,
+        unroll=unroll,
         shard_agents=shard_agents,
     )
 
@@ -220,9 +225,26 @@ def training_rollout_loss(
     (simulators.py:295), so the finetune rollout is stochastic; ``apply_fn``
     must then accept a trailing rng argument.
     """
-    ecfg = engine_config(
-        cfg, retire=False, track_collisions=True,
-        track_labels=cfg.collision_pred_weight > 0,
+    # Auto fusion policy (measured, train_step_fusion.json): the paper-size
+    # step (C=32, N=122) is kernel-launch bound — full BPTT unroll + no
+    # remat cuts 14.4 -> 10.5 ms/step.  At dense sizes the unrolled,
+    # live-activation program would blow compile time and HBM, so keep the
+    # scanned + rematerialized form there.  TPU only: XLA:CPU pays the
+    # unrolled compile without the dispatch-latency win (tests and the
+    # virtual-mesh dryrun run on CPU).
+    small = (batch.num_channels * batch.position.shape[2] <= 8192
+             and jax.default_backend() == "tpu")
+    remat = cfg.remat_features
+    if remat is None:
+        remat = not small
+    unroll = cfg.bptt_unroll or (batch.num_frames if small else 1)
+    ecfg = dataclasses.replace(
+        engine_config(
+            cfg, retire=False, track_collisions=True,
+            track_labels=cfg.collision_pred_weight > 0,
+            unroll=unroll,
+        ),
+        remat=remat,
     )
 
     def one_channel(p0, v0, a0, dest0, didx0, pf0, of0, sf0, spawns, rngs):
