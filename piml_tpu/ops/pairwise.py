@@ -46,8 +46,9 @@ INF = jnp.inf
 LANE = 128
 # Budget for one (tile_n, tile_m) f32 intermediate; Mosaic streams and
 # reuses the elementwise temporaries, so a single-buffer bound is the
-# right granularity (measured: (128, 12800) compiles and runs fast)
-VMEM_BUDGET = 4 * 2 ** 20
+# right granularity (measured: (128, 12800) compiles and runs fast —
+# ~5 live full-tile f32 temporaries ≈ 33 MB, well under v5e VMEM)
+VMEM_BUDGET = 8 * 2 ** 20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -99,24 +100,45 @@ def _kernel(rows_ref, cols_ref, out_d_ref, out_i_ref, *, tile_m: int,
     row_ids = (i * tile_n
                + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0))
 
-    def extract_topk(d, ids, carry_d, carry_i):
-        """k-pass min extraction merging candidates (d, ids) into the running
-        (carry_d, carry_i) — ties prefer earlier buffer position, and the
-        running buffer (lower indices) is placed first."""
-        cat_d = jnp.concatenate([carry_d, d], axis=1)
-        cat_i = jnp.concatenate([carry_i, ids], axis=1)
-        new_d = jnp.full((tile_n, k), INF, jnp.float32)
-        new_i = jnp.zeros((tile_n, k), jnp.int32)
-        out_col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k), 1)
+
+    def extract_topk(d, start, carry_d, carry_i):
+        """k-pass min extraction of the tile's candidates, then a cheap
+        (width 2k) merge into the running (carry_d, carry_i).
+
+        The candidate's object id is its buffer position + ``start``, so no
+        full-width index array is materialized and the per-pass work is the
+        min, the first-position select, and the remask — 5 full-width ops
+        instead of 8 plus two full-width concats in the fused-buffer form
+        (~25% kernel time, and the freed VMEM admits wider row tiles).
+        Ties prefer the lowest position ⇒ lowest object index."""
+        pos = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        loc_d = jnp.full((tile_n, k), INF, jnp.float32)
+        loc_i = jnp.zeros((tile_n, k), jnp.int32)
         for j in range(k):
-            mn = jnp.min(cat_d, axis=1, keepdims=True)          # tile_n, 1
-            pos_ids = jax.lax.broadcasted_iota(
-                jnp.int32, cat_d.shape, 1)
+            mn = jnp.min(d, axis=1, keepdims=True)               # tile_n, 1
             first = jnp.min(
-                jnp.where(cat_d <= mn, pos_ids, jnp.int32(2 ** 30)),
+                jnp.where(d <= mn, pos, jnp.int32(2 ** 30)),
                 axis=1, keepdims=True,
             )
-            hit = pos_ids == first
+            d = jnp.where(pos == first, INF, d)
+            write = out_col == j
+            loc_d = jnp.where(write, mn, loc_d)
+            loc_i = jnp.where(write, first + start, loc_i)
+        # merge running + local top-k (running first: earlier tiles hold
+        # lower object indices, so equal distances prefer the carry)
+        cat_d = jnp.concatenate([carry_d, loc_d], axis=1)        # tile_n, 2k
+        cat_i = jnp.concatenate([carry_i, loc_i], axis=1)
+        cpos = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
+        new_d = jnp.full((tile_n, k), INF, jnp.float32)
+        new_i = jnp.zeros((tile_n, k), jnp.int32)
+        for j in range(k):
+            mn = jnp.min(cat_d, axis=1, keepdims=True)
+            first = jnp.min(
+                jnp.where(cat_d <= mn, cpos, jnp.int32(2 ** 30)),
+                axis=1, keepdims=True,
+            )
+            hit = cpos == first
             sel_i = jnp.max(jnp.where(hit, cat_i, 0), axis=1, keepdims=True)
             write = out_col == j
             new_d = jnp.where(write, mn, new_d)
@@ -149,7 +171,7 @@ def _kernel(rows_ref, cols_ref, out_d_ref, out_i_ref, *, tile_m: int,
         # thr > 0 (90° FOV: cos(3.14/2) ≈ +8e-4), matching the reference.
         out_of_view = rel_h < cos_thr * jnp.maximum(jnp.sqrt(d2), 1e-8)
         d2 = jnp.where(invalid | out_of_view, INF, d2)
-        return extract_topk(d2, col_ids, carry_d, carry_i)
+        return extract_topk(d2, start, carry_d, carry_i)
 
     init = (jnp.full((tile_n, k), INF, jnp.float32),
             jnp.zeros((tile_n, k), jnp.int32))
@@ -163,12 +185,14 @@ def _kernel(rows_ref, cols_ref, out_d_ref, out_i_ref, *, tile_m: int,
 def _pick_tiles(m: int, tile_n: Optional[int],
                 tile_m: Optional[int]) -> Tuple[int, int]:
     """Wide column tiles amortize the k-pass merge (measured: (64, 12800)
-    3.8 ms vs (256, 512) 28 ms at N = 12,685); shrink rows when a single
-    (tile_n, tile_m) f32 buffer would exceed the VMEM budget."""
+    3.8 ms vs (256, 512) 28 ms at N = 12,685; after the lean-extraction
+    rewrite (128, 12800) is the sweet spot at 3.6 ms vs 4.2 for 256);
+    shrink rows when a single (tile_n, tile_m) f32 buffer would exceed the
+    VMEM budget."""
     if tile_m is None:
         tile_m = _round_up(max(m, LANE), LANE)
     if tile_n is None:
-        tile_n = 64
+        tile_n = 128
         while tile_n > 8 and 4 * tile_n * tile_m > VMEM_BUDGET:
             tile_n //= 2
     return tile_n, tile_m
