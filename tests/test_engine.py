@@ -192,3 +192,26 @@ def test_training_rollout_grad(toy_pipeline):
     norms = [float(jnp.sum(g ** 2)) for g in jax.tree_util.tree_leaves(grads)]
     assert np.isfinite(norms).all()
     assert sum(norms) > 0
+
+
+def test_bptt_unroll_and_remat_equivalence(toy_pipeline):
+    """The auto fusion policy (simulator.py: full unroll + no remat for
+    small steps) is a scheduling choice only — loss and grads must match
+    the scanned + rematerialized form exactly."""
+    cfg, data, params, apply_fn = toy_pipeline
+    batch = to_channeled(data, stride=cfg.valid_steps).slice_channels(
+        np.arange(2)
+    )
+
+    def lg(c):
+        loss_fn = lambda p: training_rollout_loss(p, apply_fn, c, batch).loss
+        return jax.value_and_grad(loss_fn)(params)
+
+    base_l, base_g = lg(cfg.replace(bptt_unroll=1, remat_features=True))
+    for unroll, remat in [(batch.num_frames, False), (2, True)]:
+        l, g = lg(cfg.replace(bptt_unroll=unroll, remat_features=remat))
+        np.testing.assert_allclose(float(l), float(base_l), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(base_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
