@@ -44,11 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF = jnp.inf
 LANE = 128
-# Budget for one (tile_n, tile_m) f32 intermediate; Mosaic streams and
-# reuses the elementwise temporaries, so a single-buffer bound is the
-# right granularity (measured: (128, 12800) compiles and runs fast —
-# ~5 live full-tile f32 temporaries ≈ 33 MB, well under v5e VMEM)
-VMEM_BUDGET = 8 * 2 ** 20
+# Scoped-VMEM model for the tile picker, fitted to measured compile
+# boundaries on v5e (Mosaic's scoped limit is 16 MB): ~2 live f32 work
+# tiles (8·tile_n·tile_m bytes) plus the double-buffered (8, tile_m)
+# input block (64·tile_m bytes).  Measured: (128, 12800) OK,
+# (64, 25600) OK, (32, 51200) OK at 16.4 MB, (16, 102400) OOMs at
+# 21.8 MB, (8, 102400) OK.
+VMEM_SCOPED_LIMIT = 16.5e6
 
 
 def _round_up(x: int, m: int) -> int:
@@ -186,15 +188,21 @@ def _pick_tiles(m: int, tile_n: Optional[int],
                 tile_m: Optional[int]) -> Tuple[int, int]:
     """Wide column tiles amortize the k-pass merge (measured: (64, 12800)
     3.8 ms vs (256, 512) 28 ms at N = 12,685; after the lean-extraction
-    rewrite (128, 12800) is the sweet spot at 3.6 ms vs 4.2 for 256);
-    shrink rows when a single (tile_n, tile_m) f32 buffer would exceed the
-    VMEM budget."""
+    rewrite (128, 12800) is the sweet spot at 3.4 ms vs 4.2 for 256);
+    shrink rows until the scoped-VMEM model fits (wider rows always
+    measured faster whenever they compile: 64 > 32 at M=25,600,
+    32 > 16 at M=51,200)."""
     if tile_m is None:
         tile_m = _round_up(max(m, LANE), LANE)
     if tile_n is None:
         tile_n = 128
-        while tile_n > 8 and 4 * tile_n * tile_m > VMEM_BUDGET:
+        while tile_n > 8 and 8 * tile_n * tile_m + 64 * tile_m > VMEM_SCOPED_LIMIT:
             tile_n //= 2
+        # beyond M ≈ 128k even 8-row tiles overflow (the input block alone
+        # scales with tile_m): stream narrower column tiles instead
+        while (tile_m > LANE
+               and 8 * tile_n * tile_m + 64 * tile_m > VMEM_SCOPED_LIMIT):
+            tile_m = _round_up(tile_m // 2, LANE)
     return tile_n, tile_m
 
 
