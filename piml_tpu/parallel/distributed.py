@@ -1,4 +1,4 @@
-"""Multi-host scaffolding.
+"""Multi-host runtime initialization.
 
 The reference is strictly single-node (SURVEY §5: nn.DataParallel only); this
 is the TPU-native extension point for multi-host pods.  Single-host multi-chip
@@ -6,6 +6,13 @@ needs none of this — ``jax.devices()`` already sees all local chips; call
 :func:`init_distributed` once per process before any JAX computation when
 running one process per host on a pod slice (DCN-coordinated, ICI within
 each slice).
+
+Tested end-to-end (tests/test_distributed.py): two local processes of 4
+virtual CPU devices each form the global 8-device mesh and run the SAME
+DP finetune step as the single-host path (parallel/sharding.py, unmodified
+— jax.device_put with a global NamedSharding populates each process's
+addressable shards), with the gradient all-reduce crossing processes;
+the loss matches the single-process mesh bit-for-bit.
 """
 
 from __future__ import annotations
