@@ -59,6 +59,31 @@ def main():
     jax.block_until_ready(params2)
     print(f"DIST_LOSS {pid} {float(out.loss)!r}", flush=True)
 
+    # the agent-axis ring pair pass (multi-chip rollout path): ppermute
+    # rides the cross-process backend; must match the local dense pass
+    import jax.numpy as jnp
+
+    from piml_tpu.data.views import neighbor_config
+    from piml_tpu.parallel import sharded_relative_features
+    from piml_tpu.physics.features import heading_direction, relative_features
+
+    n = 64
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    pos = jax.random.normal(keys[0], (n, 2)) * 5
+    vel = jax.random.normal(keys[1], (n, 2))
+    acc = jax.random.normal(keys[2], (n, 2)) * 0.2
+    dest = jax.random.normal(keys[3], (n, 2)) * 8
+    obstacles = jnp.full((4, 2), 1e4)
+    ncfg = neighbor_config(cfg)
+    heading = heading_direction(vel, time_axis=False)
+    ped_1, _, _ = relative_features(pos, vel, acc, dest, obstacles, ncfg,
+                                    heading=heading)
+    ped_n, _, _ = sharded_relative_features(pos, vel, acc, dest, obstacles,
+                                            ncfg, mesh, axis="dp")
+    err = float(jnp.max(jnp.abs(jnp.sort(ped_n, axis=1)
+                                - jnp.sort(ped_1, axis=1))))
+    print(f"DIST_RING_ERR {pid} {err!r}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -76,7 +76,7 @@ def test_two_process_dp_matches_single_process():
         )
         for pid in (0, 1)
     ]
-    losses = {}
+    losses, ring_errs = {}, {}
     for pid, proc in enumerate(procs):
         out, err = proc.communicate(timeout=600)
         assert proc.returncode == 0, (
@@ -86,7 +86,14 @@ def test_two_process_dp_matches_single_process():
             if line.startswith("DIST_LOSS"):
                 _, p, v = line.split()
                 losses[int(p)] = float(v)
+            elif line.startswith("DIST_RING_ERR"):
+                _, p, v = line.split()
+                ring_errs[int(p)] = float(v)
     assert set(losses) == {0, 1}, f"missing child losses: {losses}"
+    # cross-process ring-sharded pair pass matches the dense local pass
+    assert set(ring_errs) == {0, 1} and max(ring_errs.values()) < 1e-4, (
+        f"ring pair pass diverged across processes: {ring_errs}"
+    )
     # both processes hold the identical replicated result
     assert losses[0] == losses[1]
     np.testing.assert_allclose(losses[0], _single_process_loss(), rtol=1e-6)
