@@ -201,7 +201,8 @@ def bench_dense_stress(roundtrip_s):
 V5E_PEAK_BF16 = 197e12  # one v5e chip, bf16 MXU peak FLOP/s
 
 
-def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0):
+def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
+                     dtype="float32"):
     """One finetune BPTT step (reference hot loop simulators.py:659-832) at
     paper hyperparameters: ``batch_windows``-channel batch x 10-frame
     differentiable rollout on the shipped GC scene, full loss stack, grads,
@@ -230,7 +231,7 @@ def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0):
         collision_pred_weight=5e-2, collision_loss_weight=200.0,
         collision_focus_weight=1.0, hard_collision_penalty=2.0,
         time_decay=0.9, reg_weight=1e-2, collision_loss_version="v2",
-        remat_features=remat, bptt_unroll=unroll,
+        remat_features=remat, bptt_unroll=unroll, compute_dtype=dtype,
     )
     scene = Scene.load(GC_SCENE)
     data = make_time_indexed(cfg, scene)
@@ -356,6 +357,9 @@ def main():
     # larger-program point; C=512 overflows the tunnel compile helper
     train_dense = _safe(bench_train_step, roundtrip, batch_windows=128,
                         remat=False)
+    # bf16 NN branch on the fused step (1.22x over f32 once unrolled;
+    # dispatch-bound pre-fusion it was 0.98x — train_step_fusion.json)
+    train_bf16 = _safe(bench_train_step, roundtrip, dtype="bfloat16")
 
     vs_baseline = None
     stress_vs = None
@@ -372,6 +376,8 @@ def main():
         ref_ts = base.get("train_step", {}).get("s_per_step")
         if ref_ts and "s_per_step" in train:
             train["vs_baseline"] = ref_ts / train["s_per_step"]
+        if ref_ts and "s_per_step" in train_bf16:
+            train_bf16["vs_baseline"] = ref_ts / train_bf16["s_per_step"]
 
     def r(d, nd=4):
         return {k: (round(v, nd) if isinstance(v, float) else v)
@@ -390,6 +396,7 @@ def main():
             "dense_12685_metrics": r(dense_metrics),
             "finetune_train_step": r(train, 6),
             "finetune_train_step_dense": r(train_dense, 6),
+            "finetune_train_step_bf16": r(train_bf16, 6),
         },
     }))
 
