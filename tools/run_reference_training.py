@@ -134,8 +134,13 @@ def main():
     ap.add_argument("--eval_only", action="store_true",
                     help="skip all training; evaluate the existing pretrain "
                          "and finetuned checkpoints on the test window")
+    ap.add_argument("--resume_finetune", action="store_true",
+                    help="continue finetuning from the saved *_finetuned "
+                         "checkpoint for --finetune_epochs more epochs "
+                         "(fresh Adam state — documented deviation, used "
+                         "only to complete a run interrupted by the host)")
     cli = ap.parse_args()
-    if cli.eval_only:
+    if cli.eval_only or cli.resume_finetune:
         cli.skip_pretrain = True
 
     cwd = setup_rundir()
@@ -258,7 +263,19 @@ def main():
     # also what validate()'s list branch + val_coll_weight expects).
     ft_valid = real_dataset.dataset["valid"]
     t0 = time.time()
-    simulator.finetune(ft_loaders, ft_valid, real_dataset.test_data)
+    if cli.resume_finetune:
+        # finetune() body (simulators.py:409-428) with the warm start taken
+        # from the saved *_finetuned* checkpoint instead of the pretrain one
+        simulator.set_ft_model(args)
+        simulator.set_ft_optimizer(args)
+        simulator.set_ft_scheduler(args)
+        simulator.load_model(args, set_model=False, finetune_flag=True)
+        simulator.finetune_flag = True
+        simulator.train(ft_loaders, ft_valid, real_dataset.test_data)
+        simulator.test_multiple_rollouts(real_dataset.test_data)
+        simulator.finetune_flag = False
+    else:
+        simulator.finetune(ft_loaders, ft_valid, real_dataset.test_data)
     out["finetune_s"] = time.time() - t0
 
     # finetuned row from the best finetuned checkpoint
