@@ -202,7 +202,7 @@ V5E_PEAK_BF16 = 197e12  # one v5e chip, bf16 MXU peak FLOP/s
 
 
 def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
-                     dtype="float32"):
+                     dtype="float32", steps=10):
     """One finetune BPTT step (reference hot loop simulators.py:659-832) at
     paper hyperparameters: ``batch_windows``-channel batch x 10-frame
     differentiable rollout on the shipped GC scene, full loss stack, grads,
@@ -262,7 +262,7 @@ def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    STEPS = 10
+    STEPS = steps
 
     @jax.jit
     def run(params, opt_state, b):
@@ -277,11 +277,33 @@ def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
                                       length=STEPS)
         return jnp.sum(losses)
 
-    # XLA's own FLOP/byte counts for the compiled program (per STEPS steps)
+    # XLA's own FLOP/byte counts.  Loop bodies are NOT reliably multiplied
+    # by trip count in cost_analysis, so counting the scanned timing program
+    # under-reports: cost-analyze instead a single un-scanned step with the
+    # BPTT rollout fully unrolled and no remat — the algorithmic flops of
+    # one train step (unroll/remat don't change the math, only the schedule;
+    # remat would ADD recompute flops, which MFU accounting excludes).
     lowered = run.lower(params, opt_state, batch)
     cost = lowered.compile().cost_analysis()
-    flops_total = float(cost.get("flops", 0.0)) if cost else 0.0
-    bytes_total = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
+    if steps == 1 and (remat is False) and unroll >= batch.num_frames:
+        probe_cost = cost  # already the probe program
+    else:
+        probe_cfg = cfg.replace(remat_features=False,
+                                bptt_unroll=int(batch.num_frames))
+        def probe_step(params, opt_state, b):
+            def loss_fn(p):
+                return training_rollout_loss(p, apply_fn, probe_cfg, b).loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, o = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), o, loss
+        probe_cost = (jax.jit(probe_step)
+                      .lower(params, opt_state, batch)
+                      .compile().cost_analysis())
+    flops_step = float(probe_cost.get("flops", 0.0)) if probe_cost else 0.0
+    bytes_step = float(probe_cost.get("bytes accessed", 0.0)) \
+        if probe_cost else 0.0
+    flops_total = flops_step * STEPS
+    bytes_total = bytes_step * STEPS
 
     dt = _timed_scalar(run, params, opt_state, batch) - roundtrip_s
     dt = max(dt, 1e-6)
@@ -301,10 +323,13 @@ def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
     }
     if bytes_total:
         # roofline position: v5e ridge ~ 240 flop/byte (197 TF / 0.82 TB/s);
-        # intensity far below it = bandwidth/latency-bound by construction
-        out["bytes_per_step"] = bytes_total / STEPS
+        # intensity far below it = bandwidth/latency-bound by construction.
+        # "bytes accessed" counts every HLO operand as if it hit HBM, i.e.
+        # it is the PRE-FUSION upper bound on traffic; the demand ratio
+        # says how bandwidth-hungry the step would be with no fusion at all.
+        out["xla_bytes_accessed_per_step"] = bytes_total / STEPS
         out["arith_intensity_flop_per_byte"] = flops_total / bytes_total
-        out["hbm_util_vs_819GBps"] = bytes_total / dt / 819e9
+        out["hbm_demand_vs_819GBps"] = bytes_total / dt / 819e9
     return out
 
 

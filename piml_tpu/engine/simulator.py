@@ -232,7 +232,9 @@ def training_rollout_loss(
     # scanned + rematerialized form there.  TPU only: XLA:CPU pays the
     # unrolled compile without the dispatch-latency win (tests and the
     # virtual-mesh dryrun run on CPU).
-    small = (batch.num_channels * batch.position.shape[2] <= 8192
+    # threshold measured on v5e: C=128 x N=122 (15,616 slots) still wins
+    # unrolled (57 vs 70 ms/step); C=512 x 122 blows compile size
+    small = (batch.num_channels * batch.position.shape[2] <= 16384
              and jax.default_backend() == "tpu")
     remat = cfg.remat_features
     if remat is None:

@@ -118,13 +118,18 @@ def ring_topk_neighbors(state: jax.Array, heading: jax.Array, k: int,
             key_tile = lax.ppermute(key_tile, axis, perm)
             return (run_dist, run_rows, key_tile), None
 
-        # pvary: the running top-k starts as a constant but becomes
-        # device-varying inside the scan, so its carry type must be marked
-        # varying over the mesh axis up front
+        # the running top-k starts as a constant but becomes device-varying
+        # inside the scan, so its carry type must be marked varying over the
+        # mesh axis up front (lax.pcast(to='varying'); pre-0.9 JAX spelled
+        # this lax.pvary)
+        if hasattr(lax, "pcast"):
+            _varying = lambda x: lax.pcast(x, axis, to="varying")
+        else:  # pragma: no cover - older JAX
+            _varying = lambda x: lax.pvary(x, axis)
         init = (
-            lax.pvary(jnp.full((m, k), INF, state_tile.dtype), axis),
-            lax.pvary(
-                jnp.zeros((m, k, state_tile.shape[-1]), state_tile.dtype), axis
+            _varying(jnp.full((m, k), INF, state_tile.dtype)),
+            _varying(
+                jnp.zeros((m, k, state_tile.shape[-1]), state_tile.dtype)
             ),
             state_tile,
         )

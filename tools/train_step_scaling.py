@@ -100,9 +100,23 @@ def bench_one(data, C, width, remat, roundtrip_s, steps=10, reps=3,
                                       length=steps)
         return jnp.sum(losses)
 
-    lowered = run.lower(params, opt_state, batch)
-    cost = lowered.compile().cost_analysis()
-    flops_total = float(cost.get("flops", 0.0)) if cost else 0.0
+    # XLA cost_analysis counts a scan body once (and DCEs the backward pass
+    # at trip count 1), so cost-analyze a single un-scanned step with the
+    # BPTT rollout fully unrolled — the algorithmic flops of one train step
+    probe_cfg = cfg.replace(remat_features=False,
+                            bptt_unroll=int(batch.num_frames))
+
+    def probe_step(params, opt_state, b):
+        def loss_fn(p):
+            return training_rollout_loss(p, apply_fn, probe_cfg, b).loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, o = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), o, loss
+
+    cost = (jax.jit(probe_step).lower(params, opt_state, batch)
+            .compile().cost_analysis())
+    flops_total = (float(cost.get("flops", 0.0)) if cost else 0.0) * steps
 
     float(run(params, opt_state, batch))  # warm
     best = float("inf")
