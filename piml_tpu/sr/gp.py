@@ -39,12 +39,18 @@ _BINARY: Dict[str, Callable[[np.ndarray, np.ndarray], np.ndarray]] = {
     "-": np.subtract,
     "*": np.multiply,
     "/": lambda a, b: a / np.where(np.abs(b) < 1e-9, np.sign(b) * 1e-9 + 1e-12, b),
+    # protected power: |a|^clip(b) keeps the search space finite (sign of a
+    # is droppable for force-magnitude laws, which are nonnegative)
+    "pow": lambda a, b: np.power(np.clip(np.abs(a), 1e-9, 1e9),
+                                 np.clip(b, -5.0, 5.0)),
 }
 _UNARY: Dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "exp": lambda a: np.exp(np.clip(a, -60.0, 60.0)),
     "cos": np.cos,
     "sin": np.sin,
     "neg": np.negative,
+    "log": lambda a: np.log(np.clip(np.abs(a), 1e-9, None)),
+    "sqrt": lambda a: np.sqrt(np.abs(a)),
 }
 
 

@@ -61,7 +61,22 @@ def test_respects_operator_whitelist():
     for e in m.equations_:
         assert "exp" not in e.expression and "cos" not in e.expression
     with pytest.raises(ValueError):
-        GPSymbolicRegressor(binary_operators=("pow",))
+        GPSymbolicRegressor(binary_operators=("mod",))
+
+
+def test_recovers_power_law_with_protected_ops():
+    """Arity extensions (protected pow/log/sqrt): an inverse-square law
+    A/r^2 is found exactly once pow is in the operator pool."""
+    rng = np.random.default_rng(6)
+    r = rng.uniform(0.3, 3.0, size=2000)
+    y = 5.0 / r**2
+    m = _small(seed=9, binary_operators=("+", "*", "pow"),
+               unary_operators=("log", "sqrt")).fit(r[:, None], y)
+    best = m.best()
+    assert best.loss < 1e-3
+    rt = np.linspace(0.35, 2.8, 64)
+    assert np.allclose(best.predict(rt[:, None]), 5.0 / rt**2,
+                       rtol=0.05, atol=0.05)
 
 
 def test_deterministic_under_seed():
