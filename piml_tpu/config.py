@@ -160,6 +160,12 @@ class PIMLConfig:
                                        # device (72 s at paper budget — not worth
                                        # the gather/all-reduce restructuring)
     donate_state: bool = True
+    # Dropout/noise PRNG implementation for training streams: '' = auto
+    # (hardware 'rbg' generator on TPU, JAX-default threefry elsewhere).
+    # threefry is counted-flop-heavy: the paper-config (dropout 0.5) BPTT
+    # step measures 15.1 ms/step threefry vs 11.3 ms rbg (prng_rbg.json).
+    # Set 'threefry2x32' for the cross-backend-reproducible stream.
+    prng_impl: str = ""
     remat_features: Optional[bool] = None  # jax.checkpoint on the rollout step
                                        # for BPTT; None = auto (off for small
                                        # steps, which are kernel-launch bound;

@@ -41,6 +41,20 @@ from piml_tpu.train import losses
 from piml_tpu.utils.logging import MetricLogger
 
 
+def _configure_prng(cfg: PIMLConfig) -> None:
+    """Select the PRNG implementation for the training streams (dropout,
+    random-walk noise).  TPU auto-defaults to the hardware 'rbg' generator:
+    threefry costs ~50% of the paper-config BPTT step (15.1 -> 11.3 ms/step
+    measured, prng_rbg.json).  Raw PRNG keys are interpreted through the
+    global default impl, so this must run before any key is created; keys
+    are never checkpointed (epoch streams are re-derived by fold_in), so
+    the choice does not affect resume."""
+    impl = cfg.prng_impl or (
+        "rbg" if jax.default_backend() == "tpu" else "")
+    if impl:
+        jax.config.update("jax_default_prng_impl", impl)
+
+
 def make_optimizer(cfg: PIMLConfig, finetune: bool = False) -> optax.GradientTransformation:
     lr = cfg.learning_rate
     wd = cfg.weight_decay
@@ -202,6 +216,7 @@ class Trainer:
         self.cfg = cfg
         self.logger = logger or MetricLogger()
         self.finetune_flag = False
+        _configure_prng(cfg)  # before any key is created
         spec = ModelSpec.from_config(cfg, name=pretrain_model_name(cfg.model))
         self.model = build_model(spec)
         self.rng = jax.random.PRNGKey(cfg.seed)

@@ -226,3 +226,30 @@ def test_message_supervision_flags(tmp_path, toy_paths):
     tr2.model = tr.model
     loss_u, _ = tr2._pointwise_loss_terms(params, ped, obs, sf, lab, rng)
     assert float(loss_u) > float(loss_w)
+
+
+def test_prng_impl_knob():
+    """TPU training streams default to the hardware RBG generator
+    (threefry costs ~50% of the dropout-on BPTT step, prng_rbg.json);
+    CPU keeps the JAX default, and the knob can force either."""
+    from piml_tpu.train.trainer import _configure_prng
+
+    default = jax.config.jax_default_prng_impl
+    try:
+        # auto on CPU: no flip (tests run on the forced-CPU mesh)
+        _configure_prng(PIMLConfig(prng_impl=""))
+        assert jax.config.jax_default_prng_impl == default
+        # explicit rbg: keys become the 4-word rbg format and still drive
+        # dropout splits/fold_ins
+        _configure_prng(PIMLConfig(prng_impl="rbg"))
+        key = jax.random.PRNGKey(0)
+        assert key.shape == (4,)
+        k2 = jax.random.fold_in(key, 3)
+        sub = jax.random.split(k2, 5)
+        assert sub.shape == (5, 4)
+        x = jax.random.bernoulli(sub[0], 0.5, (8,))
+        assert x.shape == (8,)
+        _configure_prng(PIMLConfig(prng_impl="threefry2x32"))
+        assert jax.random.PRNGKey(0).shape == (2,)
+    finally:
+        jax.config.update("jax_default_prng_impl", default)
