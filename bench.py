@@ -283,22 +283,22 @@ def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
     # BPTT rollout fully unrolled and no remat — the algorithmic flops of
     # one train step (unroll/remat don't change the math, only the schedule;
     # remat would ADD recompute flops, which MFU accounting excludes).
-    lowered = run.lower(params, opt_state, batch)
-    cost = lowered.compile().cost_analysis()
-    if steps == 1 and (remat is False) and unroll >= batch.num_frames:
-        probe_cost = cost  # already the probe program
-    else:
-        probe_cfg = cfg.replace(remat_features=False,
-                                bptt_unroll=int(batch.num_frames))
-        def probe_step(params, opt_state, b):
-            def loss_fn(p):
-                return training_rollout_loss(p, apply_fn, probe_cfg, b).loss
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, o = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), o, loss
-        probe_cost = (jax.jit(probe_step)
-                      .lower(params, opt_state, batch)
-                      .compile().cost_analysis())
+    # (the timing program itself cannot be cost-analyzed even at steps=1:
+    # its lax.scan wrapper is counted at trip count 1 with the unused final
+    # carry DCE'd, i.e. forward-only flops)
+    probe_cfg = cfg.replace(remat_features=False,
+                            bptt_unroll=int(batch.num_frames))
+
+    def probe_step(params, opt_state, b):
+        def loss_fn(p):
+            return training_rollout_loss(p, apply_fn, probe_cfg, b).loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, o = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), o, loss
+
+    probe_cost = (jax.jit(probe_step)
+                  .lower(params, opt_state, batch)
+                  .compile().cost_analysis())
     flops_step = float(probe_cost.get("flops", 0.0)) if probe_cost else 0.0
     bytes_step = float(probe_cost.get("bytes accessed", 0.0)) \
         if probe_cost else 0.0
