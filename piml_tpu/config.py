@@ -230,6 +230,29 @@ class PIMLConfig:
                 clean[k] = v
         return cls(**clean)
 
+    @staticmethod
+    def coerce_field(f: "dataclasses.Field", v: Any) -> Any:
+        """Coerce a string override (CLI / --set KEY=VALUE) to the field's
+        type.  Tri-state bools (Optional[bool] fields like remat_features)
+        accept ''/'none'/'auto' for None in addition to true/false."""
+        if not isinstance(v, str):
+            return v
+        tri = "bool" in str(f.type) and not isinstance(f.default, bool)
+        if isinstance(f.default, bool) or tri:
+            s = v.strip().lower()
+            if tri and s in {"", "none", "auto"}:
+                return None
+            return s in {"1", "true", "yes"}
+        if isinstance(f.default, bool):
+            return v.strip().lower() in {"1", "true", "yes"}
+        if isinstance(f.default, int):
+            return int(v)
+        if isinstance(f.default, float):
+            return float(v)
+        if f.default is None or isinstance(f.default, str):
+            return v
+        return type(f.default)(v)
+
     @classmethod
     def from_cli(cls, argv: Optional[List[str]] = None) -> "PIMLConfig":
         """argparse surface mirroring the reference CLI (src/main.py:26-112)."""
@@ -253,16 +276,12 @@ class PIMLConfig:
             parser.add_argument("--" + legacy, dest=_LEGACY_ALIASES[legacy], default=None)
         ns, _ = parser.parse_known_args(argv)
         overrides = {k: v for k, v in vars(ns).items() if v is not None}
-        # coerce types for legacy string-captured values
+        # coerce string-captured values (legacy aliases, Optional[bool]
+        # tri-state fields like remat_features — argparse parses those as
+        # str since their default is not a bool)
         names = {f.name: f for f in dataclasses.fields(cls)}
         for k, v in list(overrides.items()):
             f = names.get(k)
-            if f is None:
-                continue
-            if isinstance(f.default, bool) and isinstance(v, str):
-                overrides[k] = v.lower() in {"1", "true", "yes"}
-            elif isinstance(f.default, int) and isinstance(v, str):
-                overrides[k] = int(v)
-            elif isinstance(f.default, float) and isinstance(v, str):
-                overrides[k] = float(v)
+            if f is not None:
+                overrides[k] = cls.coerce_field(f, v)
         return cls(**overrides)

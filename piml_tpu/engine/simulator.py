@@ -233,8 +233,11 @@ def training_rollout_loss(
     # unrolled compile without the dispatch-latency win (tests and the
     # virtual-mesh dryrun run on CPU).
     # threshold measured on v5e: C=128 x N=122 (15,616 slots) still wins
-    # unrolled (57 vs 70 ms/step); C=512 x 122 blows compile size
-    small = (batch.num_channels * batch.position.shape[2] <= 16384
+    # unrolled (57 vs 70 ms/step); C=512 x 122 blows compile size.  Under
+    # channel-DP the loss traces with GLOBAL shapes while each device only
+    # executes its shard — judge the per-device work.
+    per_dev_channels = batch.num_channels / max(cfg.n_devices, 1)
+    small = (per_dev_channels * batch.position.shape[2] <= 16384
              and jax.default_backend() == "tpu")
     remat = cfg.remat_features
     if remat is None:

@@ -192,17 +192,32 @@ def _pick_tiles(m: int, tile_n: Optional[int],
     shrink rows until the scoped-VMEM model fits (wider rows always
     measured faster whenever they compile: 64 > 32 at M=25,600,
     32 > 16 at M=51,200)."""
+    m_r = _round_up(max(m, LANE), LANE)
     if tile_m is None:
-        tile_m = _round_up(max(m, LANE), LANE)
+        tile_m = m_r
     if tile_n is None:
+        # VMEM model: the (8, m_pad) column input is ONE resident block
+        # (constant index map) costing 64·m_pad regardless of tile_m —
+        # shrinking tile_m only shrinks the per-iteration work arrays
+        # (8·tile_n·tile_m).  The 64 B/col input coefficient is the fitted
+        # boundary from the tile_m == m_pad measurements.
+        input_bytes = 64 * m_r
+
+        def fits(tn, tm):
+            return 8 * tn * tm + input_bytes <= VMEM_SCOPED_LIMIT
+
         tile_n = 128
-        while tile_n > 8 and 8 * tile_n * tile_m + 64 * tile_m > VMEM_SCOPED_LIMIT:
+        while tile_n > 8 and not fits(tile_n, tile_m):
             tile_n //= 2
-        # beyond M ≈ 128k even 8-row tiles overflow (the input block alone
-        # scales with tile_m): stream narrower column tiles instead
-        while (tile_m > LANE
-               and 8 * tile_n * tile_m + 64 * tile_m > VMEM_SCOPED_LIMIT):
+        # beyond M ≈ 128k even 8-row full-width tiles overflow: stream
+        # narrower column tiles (input stays resident; work shrinks)
+        while tile_m > LANE and not fits(tile_n, tile_m):
             tile_m = _round_up(tile_m // 2, LANE)
+        if not fits(tile_n, tile_m):
+            raise ValueError(
+                f"pair pass with M={m} columns cannot fit VMEM on one core "
+                f"(input block {input_bytes / 1e6:.1f} MB); shard the agent "
+                "axis (parallel/agent_shard.py) or use the XLA path")
     return tile_n, tile_m
 
 

@@ -516,10 +516,14 @@ class Trainer:
         ft_epoch = jax.jit(ft_epoch_fn)
 
         def validate() -> float:
-            # device_get first: under channel-DP the params live replicated
-            # on the mesh while the eval data is uncommitted — mixing the
-            # two in one jit raises a device-assignment error
-            m = evaluate_rollouts(jax.device_get(state.params), apply_fn,
+            # under channel-DP the params live replicated on the mesh while
+            # the eval data is uncommitted — mixing the two in one jit
+            # raises a device-assignment error, so pull them to host first;
+            # single-device skips the D2H roundtrip (dp_mesh is assigned
+            # before the first validate() call)
+            p = jax.device_get(state.params) if dp_mesh is not None \
+                else state.params
+            m = evaluate_rollouts(p, apply_fn,
                                   cfg, valid_data, test_flag=False)
             self.logger.log(val_loss=m.loss, val_mse=m.mse,
                             val_coll=m.collision, val_hard_coll=m.hard_collision)
@@ -527,6 +531,7 @@ class Trainer:
 
         patience_limit = cfg.patience if cfg.compat_swapped_patience else cfg.ft_patience
         # epoch-0 checkpoint + baseline validation (simulators.py:298-304)
+        dp_mesh = None  # set for real below; validate() closes over it
         start_epoch = _try_resume(cfg, state, True, self.logger) if cfg.resume else 0
         if start_epoch:
             best_params = load_params(checkpoint_path(cfg, True), state.params) \
@@ -542,7 +547,6 @@ class Trainer:
         # meta_data is a static pytree field that differs per source scene
         # (begin_frame etc.) — normalize it so same-shape batches from
         # different scenes stack into one scan.
-        dp_mesh = None
         if cfg.n_devices > 1:
             # channel data parallel over a device mesh: batches pad their
             # channel axis to the mesh size (inert channels, loss-neutral),

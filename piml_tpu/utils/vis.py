@@ -99,7 +99,9 @@ def state_animation(ax, scene: Scene, *, movie_file: Optional[str] = None,
         frames=scene.num_steps, interval=scene.time_unit * 1000.0, blit=True,
     )
     if movie_file:
-        _save_animation(ani, movie_file, writer)
+        # the actually-written path (may differ from movie_file: .mp4
+        # degrades to .gif without ffmpeg) is exposed on the animation
+        ani.saved_path = _save_animation(ani, movie_file, writer)
     return ani
 
 
@@ -123,5 +125,7 @@ def state_animation_compare(ax, scene1: Scene, scene2: Scene, *,
         interval=scene2.time_unit * 1000.0, blit=True,
     )
     if movie_file:
-        _save_animation(ani, movie_file, writer)
+        # the actually-written path (may differ from movie_file: .mp4
+        # degrades to .gif without ffmpeg) is exposed on the animation
+        ani.saved_path = _save_animation(ani, movie_file, writer)
     return ani

@@ -32,6 +32,22 @@ import pytest  # noqa: E402
 TOY = "/root/reference/data/GC_Dataset/GC_Dataset_toy1.npy"
 
 
+def pytest_collection_modifyitems(config, items):
+    """PIML_RUN_TPU_GUARDS=1 points the session at the live TPU chip — it is
+    only meant for `pytest tests/test_perf_guard.py`.  Refuse to run the
+    rest of the suite against the chip (8-device tests would skip and a
+    concurrent TPU experiment could be stalled)."""
+    if TPU_GUARDS:
+        offenders = {i.fspath.basename for i in items
+                     if i.fspath.basename != "test_perf_guard.py"}
+        if offenders:
+            raise pytest.UsageError(
+                "PIML_RUN_TPU_GUARDS=1 runs tests on the real TPU; invoke "
+                "it only with tests/test_perf_guard.py (collected: "
+                + ", ".join(sorted(offenders)) + ")"
+            )
+
+
 @pytest.fixture(scope="session")
 def toy_path():
     if not os.path.exists(TOY):

@@ -20,11 +20,15 @@ CHILD = os.path.join(HERE, "_dist_child.py")
 
 
 def _scrubbed_env():
-    drop = ("TPU", "LIBTPU", "PJRT", "MEGASCALE", "AXON")
-    env = {k: v for k, v in os.environ.items()
-           if not any(s in k.upper() for s in drop)
-           and k not in ("JAX_PLATFORMS", "XLA_FLAGS",
-                         "JAX_COMPILATION_CACHE_DIR")}
+    """Reuse the dry-run entry's scrub (one maintained poison-var list)."""
+    sys.path.insert(0, os.path.dirname(HERE))
+    import __graft_entry__ as ge
+
+    env = ge._scrubbed_cpu_env(4)
+    # children of this test manage their own platform/flag setup
+    for k in ("JAX_PLATFORMS", "XLA_FLAGS", "PIML_NO_COMPILE_CACHE",
+              "PIML_DRYRUN_CHILD"):
+        env.pop(k, None)
     return env
 
 

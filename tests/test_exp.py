@@ -168,3 +168,23 @@ def test_cli_pipeline_polar_mode(tmp_path, toy_paths):
     )
     results = run(cfg, MetricLogger(stream=open(os.devnull, "w")))
     assert np.isfinite(results["pretrain_val"])
+
+
+def test_cli_tristate_and_set_coercion():
+    """Optional[bool] fields (remat_features) parse correctly from the CLI
+    and --set-style string overrides (regression: 'false' parsed as a
+    truthy string, silently forcing remat ON)."""
+    import dataclasses
+
+    from piml_tpu.config import PIMLConfig
+
+    assert PIMLConfig.from_cli(["--remat_features", "false"]).remat_features is False
+    assert PIMLConfig.from_cli(["--remat_features", "true"]).remat_features is True
+    assert PIMLConfig.from_cli(["--remat_features", "auto"]).remat_features is None
+    assert PIMLConfig.from_cli([]).remat_features is None
+    fields = {f.name: f for f in dataclasses.fields(PIMLConfig)}
+    assert PIMLConfig.coerce_field(fields["remat_features"], "false") is False
+    assert PIMLConfig.coerce_field(fields["bptt_unroll"], "10") == 10
+    assert PIMLConfig.coerce_field(fields["shuffle"], "yes") is True
+    assert PIMLConfig.coerce_field(fields["collision_loss_weight"], "200") == 200.0
+    assert PIMLConfig.coerce_field(fields["model"], "pinnsf_bm") == "pinnsf_bm"

@@ -122,9 +122,7 @@ def main():
         overrides = {}
         for kv in cli.set:
             k, v = kv.split("=", 1)
-            d = fields[k].default
-            overrides[k] = (type(d)(v) if not isinstance(d, bool)
-                            else v.lower() in {"1", "true", "yes"})
+            overrides[k] = type(cfg).coerce_field(fields[k], v)
         cfg = cfg.replace(**overrides)
     results = _read_state()
 

@@ -68,9 +68,7 @@ def main():
         overrides = {}
         for kv in cli.set:
             k, v = kv.split("=", 1)
-            d = fields[k].default
-            overrides[k] = (type(d)(v) if not isinstance(d, bool)
-                            else v.lower() in {"1", "true", "yes"})
+            overrides[k] = type(cfg).coerce_field(fields[k], v)
         cfg = cfg.replace(**overrides)
     results = run_staged_experiment(cfg, cli.stage, cli.state, logger)
     if "finetune_test" in results and cli.state == STATE:

@@ -67,9 +67,17 @@ def main():
         with open(md) as f:
             txt = f.read()
         if marker in txt:
-            txt = txt[: txt.index(marker)]
+            # replace only this section: keep anything after the next
+            # heading (or EOF) so later-added sections survive a rewrite
+            start = txt.index(marker)
+            rest = txt[start + len(marker):]
+            nxt = rest.find("\n## ")
+            tail = rest[nxt:] if nxt != -1 else ""
+            txt = txt[:start]
+        else:
+            tail = ""
         with open(md, "w") as f:
-            f.write(txt + marker + "\n" + table + "\n")
+            f.write(txt + marker + "\n" + table + "\n" + tail)
         print(f"\nupdated {md}")
     return 0
 
