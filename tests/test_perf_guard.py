@@ -80,3 +80,19 @@ def test_dense_stress_ms_per_frame_guard():
         f"dense stress regressed: {ms_per_frame:.2f} ms/frame "
         f"(limit {STRESS_MS_PER_FRAME_LIMIT})"
     )
+
+
+# round-3 measured 10.8 ms/step f32 (auto-fused BPTT at paper size);
+# guard at ~2x headroom for tunnel noise
+TRAIN_STEP_S_LIMIT = 0.022
+
+
+def test_finetune_train_step_guard():
+    from bench import bench_train_step, measure_roundtrip
+
+    rt = measure_roundtrip()
+    r = bench_train_step(rt)
+    assert r["s_per_step"] < TRAIN_STEP_S_LIMIT, (
+        f"finetune train step regressed: {r['s_per_step']*1e3:.2f} ms/step "
+        f"(limit {TRAIN_STEP_S_LIMIT*1e3:.0f})"
+    )
