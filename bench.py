@@ -370,8 +370,42 @@ def _safe(fn, *args, **kw):
         return {"error": repr(e)[:300]}
 
 
+def _backend_error_exit(detail: str):
+    """Emit the one JSON line the driver parses, carrying the error,
+    instead of a hang or a bare stack trace."""
+    print(json.dumps({
+        "metric": "GC-window closed-loop rollout agent-steps/sec",
+        "value": 0.0, "unit": "agent-steps/s", "vs_baseline": None,
+        "error": f"backend unavailable: {detail[:300]}",
+    }))
+    raise SystemExit(1)
+
+
+def _preflight_backend(timeout_s: float = 300.0):
+    """Backend init HANGS (not raises) when the TPU tunnel relay is dead —
+    probe device init in a subprocess with a hard timeout first."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        _backend_error_exit(f"device init exceeded {timeout_s:.0f}s "
+                            "(tunnel relay down?)")
+    if proc.returncode != 0:
+        _backend_error_exit((proc.stderr or "").strip().splitlines()[-1]
+                            if proc.stderr else f"rc={proc.returncode}")
+
+
 def main():
-    roundtrip = measure_roundtrip()
+    _preflight_backend()
+    try:
+        roundtrip = measure_roundtrip()
+    except Exception as e:
+        _backend_error_exit(repr(e))
     gc = bench_gc_window(roundtrip)
     stress = _safe(bench_dense_stress, roundtrip)
     dense_metrics = _safe(bench_dense_metrics, roundtrip)
