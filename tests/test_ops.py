@@ -118,3 +118,47 @@ def test_pallas_topk_separate_objects_matches_xla(rng):
     clear = finite[:, :-1] & finite[:, 1:] & (gap > 1e-4)
     same = i_pal[:, :-1][clear] == i_ref[:, :-1][clear]
     assert same.mean() > 0.999
+
+
+def test_pallas_topk_streamed_column_tiles_match_xla(rng):
+    """The tile_m < m_pad streaming path (what the VMEM-model picker
+    selects beyond M ~ 128k columns): the fori_loop must merge the running
+    top-k across several column tiles identically to the one-tile pass."""
+    n = 300
+    pos = rng.randn(n, 2).astype(np.float32) * 5
+    pos[rng.rand(n) < 0.25] = np.nan
+    vel = rng.randn(n, 2).astype(np.float32)
+    heading = heading_direction(jnp.asarray(vel), time_axis=False)
+
+    d_ref, i_ref = nearby_in_sight(
+        jnp.asarray(pos), jnp.asarray(pos), heading, 6, 90.0, same_objects=True
+    )
+    # force 3 column tiles (m_pad = 384) and small row tiles
+    d_pal, i_pal = topk_neighbors_pallas(
+        jnp.asarray(pos), heading, 6, 90.0, tile_n=8, tile_m=128
+    )
+    d_ref, i_ref = np.asarray(d_ref), np.asarray(i_ref)
+    d_pal, i_pal = np.asarray(d_pal), np.asarray(i_pal)
+
+    finite = np.isfinite(d_ref)
+    np.testing.assert_allclose(
+        np.where(finite, d_ref, 0), np.where(np.isfinite(d_pal), d_pal, 0),
+        atol=1e-3,
+    )
+    mismatch = (i_ref != i_pal) & finite
+    assert mismatch.mean() < 0.01
+
+
+def test_pick_tiles_vmem_model():
+    """The picker's VMEM model: measured shapes reproduce, very large M
+    streams narrower column tiles, and beyond the resident-input limit it
+    raises with guidance instead of a Mosaic OOM at compile time."""
+    from piml_tpu.ops.pairwise import _pick_tiles
+
+    assert _pick_tiles(12685, None, None) == (128, 12800)
+    assert _pick_tiles(102400, None, None) == (8, 102400)
+    tn, tm = _pick_tiles(204800, None, None)
+    assert tn == 8 and tm < 204800  # streams, within the scoped limit
+    assert 8 * tn * tm + 64 * 204800 <= 16.5e6
+    with pytest.raises(ValueError, match="shard the agent axis"):
+        _pick_tiles(300000, None, None)
