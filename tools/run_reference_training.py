@@ -59,11 +59,42 @@ def setup_rundir():
     return src
 
 
-def build_args(main_mod, overrides):
-    """Paper config piml-gcdata.yaml expressed over the reference's own
-    argparse surface (grid keys f_batch_size/patience_finetune/data_path/
-    finetune_data_path map to ft_batch_size/ft_patience/data_config/
-    ft_data_config — the documented drift)."""
+# Per-dataset paper protocols over the reference's own argparse surface.
+# UCY: exp_configs/0206-pinnsf_bm-ucydata-new_tau-ps.yaml (first grid row)
+# with data_pretrain3/data_finetune3.
+DATASET_ARGS = {
+    "gc": [
+        "--data_config", REF_SRC + "/configs/data_configs/data_pretrain2.yaml",
+        "--ft_data_config", REF_SRC + "/configs/data_configs/data_finetune2.yaml",
+        "--dataset_name", "gc2344",
+        "--ft_batch_size", "32",
+        "--patience", "20",
+        "--reg_weight", "1e-2",
+        "--collision_loss_weight", "200",
+        "--val_coll_weight", "30",
+        "--hard_collision_penalty", "2",
+    ],
+    "ucy": [
+        "--data_config", REF_SRC + "/configs/data_configs/data_pretrain3.yaml",
+        "--ft_data_config", REF_SRC + "/configs/data_configs/data_finetune3.yaml",
+        "--dataset_name", "ucy",
+        "--ft_batch_size", "64",
+        "--patience", "25",
+        "--reg_weight", "1e-3",
+        "--collision_loss_weight", "20",
+        "--val_coll_weight", "10",
+        "--hard_collision_penalty", "1",
+    ],
+}
+
+
+def build_args(main_mod, overrides, dataset="gc"):
+    """Paper config (piml-gcdata.yaml / 0206-ucydata.yaml) expressed over
+    the reference's own argparse surface (grid keys f_batch_size/
+    patience_finetune/data_path/finetune_data_path map to ft_batch_size/
+    ft_patience/data_config/ft_data_config — the documented drift)."""
+    # dataset-specific args go LAST: argparse takes the final occurrence,
+    # so they override the GC-protocol defaults listed below
     argv = [
         "main.py",
         "--exp_name", "PIMLREF",
@@ -108,7 +139,7 @@ def build_args(main_mod, overrides):
         "--dataset_name", "gc2344",
         "--true_label_weight", "0",
         "--collision_loss_version", "v2",
-    ]
+    ] + DATASET_ARGS[dataset]
     old_argv = sys.argv
     sys.argv = argv
     try:
@@ -119,8 +150,9 @@ def build_args(main_mod, overrides):
         setattr(args, k, v)
     # main.py:153 drift: the pipeline reads f_batch_size
     args.f_batch_size = args.ft_batch_size
-    # deterministic suffix so the checkpoint path is reproducible
-    args.model_name_suffix = "refrun"
+    # deterministic, dataset-scoped suffix so the checkpoint path is
+    # reproducible and UCY runs never clobber the GC checkpoints
+    args.model_name_suffix = "refrun" if dataset == "gc" else f"refrun_{dataset}"
     return args
 
 
@@ -129,6 +161,7 @@ def main():
     ap.add_argument("--pretrain_epochs", type=int, default=200)
     ap.add_argument("--finetune_epochs", type=int, default=60)
     ap.add_argument("--tag", type=str, default="full")
+    ap.add_argument("--dataset", choices=sorted(DATASET_ARGS), default="gc")
     ap.add_argument("--skip_pretrain", action="store_true",
                     help="reuse the existing pretrain checkpoint")
     ap.add_argument("--eval_only", action="store_true",
@@ -168,7 +201,8 @@ def main():
 
     import functions.metrics as METRIC
 
-    args = build_args(ref_main, {"epochs": cli.pretrain_epochs})
+    args = build_args(ref_main, {"epochs": cli.pretrain_epochs},
+                      dataset=cli.dataset)
     ref_main.set_exp_configs(args)
 
     out = {"tag": cli.tag, "config": "piml-gcdata.yaml",
