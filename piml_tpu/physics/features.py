@@ -57,6 +57,10 @@ class NeighborConfig(NamedTuple):
     dist_threshold_obs: float = 4.0
     use_pallas_topk: bool = True   # size/backend-gated in relative_features
     topk_group: int = 0
+    # Cell-list pruning (ops/grid_pairs.py): O(N) candidate selection with
+    # an on-device exactness proof and lax.cond dense fallback — preferred
+    # over the dense passes on large single-frame calls.  Always exact.
+    use_grid_topk: bool = True
 
 
 # ----------------------------------------------------------------------------
@@ -303,24 +307,47 @@ def relative_features(
     # single-frame TPU hot path once the pair grid is large enough for the
     # launch overhead to pay off (crossover well below GC scale, where the
     # kernel is 3.7× faster than XLA's TopK; see ops/pairwise.py).
-    use_pallas = (
-        cfg.use_pallas_topk and position.ndim == 2
-        and jax.default_backend() == "tpu"
+    big_single_frame = (
+        position.ndim == 2
         and position.shape[0] * state_pad.shape[0] >= 2 ** 21
     )
-    if use_pallas:
-        from piml_tpu.ops.pairwise import topk_neighbors_pallas
+    use_pallas = (
+        cfg.use_pallas_topk and big_single_frame
+        and jax.default_backend() == "tpu"
+    )
+    # The pure-XLA cell-list pays off only where random gathers are cheap:
+    # on CPU the O(N) candidate set wins big at dense N, but on TPU an
+    # (N, 630)-index gather lowers to ~50 ms — measured 62× SLOWER than the
+    # dense Pallas kernel at N = 12,685.  The TPU route to O(N) is the
+    # banded kernel over the cell-sorted table (contiguous windows, no
+    # gathers); until that is the default, the grid path is CPU-only.
+    use_grid = (cfg.use_grid_topk and big_single_frame
+                and jax.default_backend() != "tpu")
 
-        ped_dist, ped_idx = topk_neighbors_pallas(
-            position, heading, k_ped, cfg.sight_angle_ped
-        )
-        # pallas indices address the un-padded table; both tables agree on
-        # the first n_real rows, so the shared gather below stays valid
-    else:
-        ped_dist, ped_idx = nearby_in_sight(
+    def _ped_dense():
+        if use_pallas:
+            from piml_tpu.ops.pairwise import topk_neighbors_pallas
+
+            # pallas/grid indices address the un-padded table; all tables
+            # agree on the first n_real rows, so the shared gather below
+            # stays valid
+            return topk_neighbors_pallas(
+                position, heading, k_ped, cfg.sight_angle_ped
+            )
+        return nearby_in_sight(
             position, state_pad[..., :2], heading, k_ped, cfg.sight_angle_ped,
             same_objects=True, topk_group=cfg.topk_group,
         )
+
+    if use_grid:
+        from piml_tpu.ops.grid_pairs import topk_neighbors_grid
+
+        ped_dist, ped_idx = topk_neighbors_grid(
+            position, heading, k_ped, cfg.sight_angle_ped, _ped_dense,
+            dist_threshold=cfg.dist_threshold_ped,
+        )
+    else:
+        ped_dist, ped_idx = _ped_dense()
     gathered = jnp.take_along_axis(
         state_pad,
         ped_idx.reshape(ped_idx.shape[:-2] + (-1,))[..., None],
@@ -338,19 +365,31 @@ def relative_features(
     obs = jnp.broadcast_to(
         obstacles_pad, position.shape[:-2] + obstacles_pad.shape
     )  # ..., M_pad, 2
-    if (use_pallas
-            and position.shape[0] * obstacles_pad.shape[0] >= 2 ** 21):
-        from piml_tpu.ops.pairwise import topk_neighbors_pallas
+    big_obs = position.shape[0] * obstacles_pad.shape[0] >= 2 ** 21
 
-        obs_dist, obs_idx = topk_neighbors_pallas(
-            position, heading, k_obs, cfg.sight_angle_obs,
-            objects=obstacles_pad, same_objects=False,
-        )
-    else:
-        obs_dist, obs_idx = nearby_in_sight(
+    def _obs_dense():
+        if use_pallas and big_obs:
+            from piml_tpu.ops.pairwise import topk_neighbors_pallas
+
+            return topk_neighbors_pallas(
+                position, heading, k_obs, cfg.sight_angle_obs,
+                objects=obstacles_pad, same_objects=False,
+            )
+        return nearby_in_sight(
             position, obs, heading, k_obs, cfg.sight_angle_obs,
             topk_group=cfg.topk_group,
         )
+
+    if use_grid and big_obs:
+        from piml_tpu.ops.grid_pairs import topk_neighbors_grid
+
+        obs_dist, obs_idx = topk_neighbors_grid(
+            position, heading, k_obs, cfg.sight_angle_obs, _obs_dense,
+            objects=obstacles_pad, same_objects=False,
+            dist_threshold=cfg.dist_threshold_obs,
+        )
+    else:
+        obs_dist, obs_idx = _obs_dense()
     zeros = jnp.zeros_like(obs)
     obs_state = jnp.concatenate([obs, zeros, zeros], axis=-1)  # ..., M_pad, 6
     gathered_o = jnp.take_along_axis(
