@@ -168,7 +168,17 @@ def bench_dense_stress(roundtrip_s):
     ds = jnp.full((n, 1), 1.34)
 
     ncfg = NeighborConfig()
-    cfg, params, apply_fn = _model_and_cfg((6, 6, 7), 0.08)
+    cfg, params, raw_apply = _model_and_cfg((6, 6, 7), 0.08)
+    # Untrained random weights produce divergent accelerations: by frame
+    # ~12 hundreds of agents fly kilometres out and the crowd is no longer
+    # dense — the opposite of what this regime measures.  Clamping the
+    # predicted acceleration (one fused elementwise op, identical model
+    # compute) keeps all 12,685 agents at GC density for every frame, which
+    # also keeps the banded cell-list kernel on its exact fast path.
+    def apply_fn(pr, pf, of, sf):
+        out = raw_apply(pr, pf, of, sf)
+        return out._replace(pred_acc=jnp.clip(out.pred_acc, -5.0, 5.0))
+
     ecfg = EngineConfig(neighbor=ncfg, time_unit=0.08, lagged=True,
                         retire_on_arrival=True, remat=False)
 

@@ -1,0 +1,305 @@
+"""Banded Pallas kernel: cell-list top-k without gathers — O(N) on TPU.
+
+The pure-XLA cell list (ops/grid_pairs.py) is exact but gather-bound on
+TPU (an (N, 630)-index random gather costs ~50 ms at GC scale).  This
+kernel keeps the cell-list's O(N) work while touching memory the way the
+TPU wants:
+
+1. XLA side: bin objects into the static G×G grid (ops/grid_pairs.py's
+   :func:`build_cell_index`), take the objects in cell-sorted order (one
+   small (M, 2) gather), and sort the agents by their own cell id so that
+   a tile of ``tile_n`` consecutive rows is spatially coherent.
+2. For every row tile, the agents' 5×5 cell blocks all live inside a
+   CONTIGUOUS range of the cell-sorted table (cell ids are row-major, so
+   cell rows ax−2..ax+2 are one slice).  The per-tile window start (lane
+   aligned) is the only dynamic quantity — computed in XLA, shipped to
+   the kernel through SMEM.
+3. Kernel per tile: slice the resident cell-sorted column table with one
+   dynamic ``pl.ds`` (no gather), run the same distance/FOV math as the
+   dense kernel (ops/pairwise.py) on the (tile_n, window) block with a
+   5×5 cell-membership mask, and min-extract the top-k with ties broken
+   by the lowest ORIGINAL object id (the sorted order is not id order).
+4. XLA side: un-sort the outputs, then evaluate the same exactness
+   predicate as grid_pairs (k-th distance inside the unexamined-region
+   bound / dist_threshold feature-exactness / full coverage) plus a
+   per-tile window-overflow check; the composed selector falls back to
+   the dense kernel via ``lax.cond`` when exactness cannot be proven.
+
+Because the kernel differences coordinates exactly like the dense kernel
+(same expression tree), an exact banded result is BIT-IDENTICAL to the
+dense Pallas pass — tested in interpret mode on CPU and on TPU.
+
+Measured at N = 12,685 (uniform stress, one v5e chip): agent pass work
+drops by M_pad/window ≈ 5× vs the dense kernel; the XLA support ops
+(argsort, counts, windows, un-sort) amortize to ~0.3 ms/frame inside a
+scanned rollout.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from piml_tpu.ops.grid_pairs import auto_grid_dim, build_cell_index
+
+INF = jnp.inf
+LANE = 128
+_BIG_OID = float(2 ** 25)
+_BOUND_TOL = 1e-3
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def auto_window(n: int, m: int, grid_dim: int, tile_n: int) -> int:
+    """Static per-tile column window: the tile's rows span
+    ``tile_n·G²/n`` cells (≈ tile_n/occupancy), so its 5×5 blocks cover
+    ``5 + span/G (+1 alignment/straddle)`` cell rows of ``m/G`` lanes
+    each; 1.3× slack absorbs occupancy fluctuation."""
+    g = grid_dim
+    row_width = m / g
+    span_rows = (tile_n * g * g / max(n, 1)) / g
+    want = (5.0 + span_rows + 1.0) * row_width * 1.3 + LANE
+    return min(_round_up(max(int(want), LANE), LANE), _round_up(m, LANE))
+
+
+def _kernel(ws_ref, rows_ref, cols_ref, out_d_ref, out_i_ref, *,
+            window: int, cos_thr: float, self_pairs: bool, k: int):
+    i = pl.program_id(0)
+    tile_n = rows_ref.shape[0]
+
+    xa = rows_ref[:, 0:1]
+    ya = rows_ref[:, 1:2]
+    hxa = rows_ref[:, 2:3]
+    hya = rows_ref[:, 3:4]
+    va = rows_ref[:, 4:5]
+    axa = rows_ref[:, 5:6]
+    aya = rows_ref[:, 6:7]
+    self_oid = rows_ref[:, 7:8]
+
+    # start shipped in LANE units so Mosaic can statically prove alignment
+    start = ws_ref[i] * LANE
+    blk = cols_ref[:, pl.ds(start, window)]          # 8, W
+    xb = blk[0:1, :]
+    yb = blk[1:2, :]
+    vb = blk[2:3, :]
+    oid = blk[3:4, :]
+    cxb = blk[4:5, :]
+    cyb = blk[5:6, :]
+
+    dx = xb - xa                                     # tile_n, W
+    dy = yb - ya
+    d2 = dx * dx + dy * dy
+    rel_h = dx * hxa + dy * hya
+    oid_b = jnp.broadcast_to(oid, d2.shape)
+    if self_pairs:
+        self_pair = oid_b == self_oid
+        d2 = jnp.where(self_pair, 0.0, d2)
+        rel_h = jnp.where(self_pair, 0.0, rel_h)
+    # 5×5 cell-block membership (same box as grid_pairs' predicate)
+    in_box = ((jnp.abs(cxb - axa) <= 2.0) & (jnp.abs(cyb - aya) <= 2.0))
+    invalid = (va < 0.5) | (vb < 0.5) | ~in_box
+    # FOV gate, multiplicatively (see ops/pairwise.py)
+    out_of_view = rel_h < cos_thr * jnp.maximum(jnp.sqrt(d2), 1e-8)
+    d2 = jnp.where(invalid | out_of_view, INF, d2)
+
+    # k-pass min extraction, ties broken by lowest original object id
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, k), 1)
+    loc_d = jnp.full((tile_n, k), INF, jnp.float32)
+    loc_i = jnp.zeros((tile_n, k), jnp.float32)
+    for j in range(k):
+        mn = jnp.min(d2, axis=1, keepdims=True)
+        at_min = d2 <= mn
+        sel = jnp.min(jnp.where(at_min, oid_b, _BIG_OID), axis=1,
+                      keepdims=True)
+        d2 = jnp.where(at_min & (oid_b == sel), INF, d2)
+        write = out_col == j
+        loc_d = jnp.where(write, mn, loc_d)
+        loc_i = jnp.where(write, sel, loc_i)
+
+    out_d_ref[:, :] = jnp.pad(jnp.sqrt(loc_d), ((0, 0), (0, LANE - k)),
+                              constant_values=INF)
+    safe = jnp.where(loc_i < _BIG_OID, loc_i, 0.0).astype(jnp.int32)
+    out_i_ref[:, :] = jnp.pad(safe, ((0, 0), (0, LANE - k)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "angle_threshold", "same_objects", "grid_dim",
+                     "window", "tile_n", "dist_threshold", "interpret"),
+)
+def topk_neighbors_banded(
+    position: jax.Array,
+    heading: jax.Array,
+    k: int,
+    angle_threshold: float,
+    objects: Optional[jax.Array] = None,
+    same_objects: bool = True,
+    grid_dim: Optional[int] = None,
+    window: Optional[int] = None,
+    tile_n: int = 128,
+    dist_threshold: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Banded cell-list FOV top-k: ``(dist (N,k'), idx (N,k'), exact ())``.
+
+    Contract matches ``topk_neighbors_pallas`` plus the ``exact`` flag of
+    ``grid_pairs.grid_topk_neighbors`` (selection-exact, or feature-exact
+    when ``dist_threshold`` is given).  When ``exact`` is True the result
+    is bit-identical to the dense Pallas kernel.
+    """
+    if objects is None:
+        objects = position
+        same_objects = True
+    n = position.shape[0]
+    m = objects.shape[0]
+    k_eff = min(k, m)
+    if grid_dim is None:
+        grid_dim = auto_grid_dim(m, k)
+    if window is None:
+        window = auto_window(n, m, grid_dim, tile_n)
+    g = grid_dim
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    pos_valid = jnp.all(jnp.isfinite(position), axis=-1)
+    pos = jnp.where(pos_valid[:, None], position, 0.0)
+    hd = jnp.where(jnp.isfinite(heading), heading, 0.0)
+    obj_valid = jnp.all(jnp.isfinite(objects), axis=-1)
+    obj = jnp.where(obj_valid[:, None], objects, 0.0)
+
+    order, offsets, lo, cs = build_cell_index(objects, g)
+
+    # ---- cell-sorted column table (8, M_pad + window) -------------------
+    # ONE 4-wide row gather + vector math + ONE pad/transpose fusion: TPU
+    # gathers cost ~5 ns/element, so per-component gathers and chained
+    # .at[].set copies would dominate the whole pass (measured ~0.1 ms per
+    # fusion at GC scale)
+    obj4 = jnp.concatenate([
+        obj, obj_valid[:, None].astype(jnp.float32),
+        jnp.arange(m, dtype=jnp.float32)[:, None]], axis=1)       # m, 4
+    sorted4 = obj4[order]                                         # one gather
+    scc = jnp.clip(jnp.floor((sorted4[:, :2] - lo) / cs), 0, g - 1)
+    comp = jnp.concatenate([sorted4, scc], axis=1)                # m, 6
+    m_pad = _round_up(max(m, LANE), LANE) + window
+    cols = jnp.pad(comp.T, ((0, 2), (0, m_pad - m)))              # 8, m_pad
+
+    # ---- agents sorted by their cell id in the OBJECT grid --------------
+    # invalid agents pinned to the last cell: they sort to the end (like
+    # invalid objects) instead of dragging tile windows toward cell 0
+    acell = jnp.clip(jnp.floor((pos - lo) / cs), 0, g - 1).astype(jnp.int32)
+    acell = jnp.where(pos_valid[:, None], acell, g - 1)
+    if same_objects:
+        aorder = order
+    else:
+        acid = acell[:, 0] * g + acell[:, 1]
+        aorder = jnp.argsort(acid, stable=True).astype(jnp.int32)
+    inv = jnp.zeros(n, jnp.int32).at[aorder].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    n_pad = _round_up(max(n, tile_n), tile_n)
+    pad_rows = n_pad - n
+    # pad by repeating the last sorted agent (valid = 0) so padded rows do
+    # not stretch the tile windows; ONE 8-wide row gather builds the table
+    aidx = jnp.concatenate(
+        [aorder, jnp.broadcast_to(aorder[-1:], (pad_rows,))])
+    rows_unsorted = jnp.concatenate([
+        pos, hd, pos_valid[:, None].astype(jnp.float32),
+        acell.astype(jnp.float32),
+        jnp.arange(n, dtype=jnp.float32)[:, None],
+    ], axis=1)                                       # n, 8
+    rows = rows_unsorted[aidx]                       # one gather
+    rows = rows.at[:, 4].multiply(
+        (jnp.arange(n_pad) < n).astype(jnp.float32))
+
+    # ---- per-tile windows ------------------------------------------------
+    num_tiles = n_pad // tile_n
+    ax_t = rows[:, 5].astype(jnp.int32).reshape(num_tiles, tile_n)
+    cx0 = jnp.clip(jnp.min(ax_t, axis=1) - 2, 0, g - 1)
+    cx1 = jnp.clip(jnp.max(ax_t, axis=1) + 2, 0, g - 1)
+    win_start_lanes = offsets[cx0 * g] // LANE       # lane-aligned, in units
+    win_end = offsets[(cx1 + 1) * g]
+    tile_ok = (win_end - win_start_lanes * LANE) <= window   # num_tiles
+
+    cos_thr = math.cos(3.14 * angle_threshold / 180.0)
+    grid = (num_tiles,)
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_kernel, window=window, cos_thr=cos_thr,
+                          self_pairs=same_objects, k=k_eff),
+        interpret=interpret,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_n, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, m_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, LANE), jnp.int32),
+        ),
+    )(win_start_lanes, rows, cols)
+
+    # slice FIRST, then un-sort: gathering (N, k) costs ~100k elements;
+    # gathering (N_pad, LANE) rows before slicing costs ~3 MB per output
+    # and dominates the whole pass on TPU
+    top_d = out_d[:n, :k_eff][inv]
+    top_i = out_i[:n, :k_eff][inv]
+
+    # ---- exactness predicate (same box semantics as grid_pairs) ---------
+    ax = acell[:, 0]
+    ay = acell[:, 1]
+    bx_lo = lo[0] + (ax - 2).astype(jnp.float32) * cs[0]
+    bx_hi = lo[0] + (ax + 3).astype(jnp.float32) * cs[0]
+    by_lo = lo[1] + (ay - 2).astype(jnp.float32) * cs[1]
+    by_hi = lo[1] + (ay + 3).astype(jnp.float32) * cs[1]
+    d_left = jnp.where(ax - 2 > 0, pos[:, 0] - bx_lo, INF)
+    d_right = jnp.where(ax + 2 < g - 1, bx_hi - pos[:, 0], INF)
+    d_down = jnp.where(ay - 2 > 0, pos[:, 1] - by_lo, INF)
+    d_up = jnp.where(ay + 2 < g - 1, by_hi - pos[:, 1], INF)
+    bound = jnp.maximum(
+        jnp.minimum(jnp.minimum(d_left, d_right),
+                    jnp.minimum(d_down, d_up)), 0.0)
+    covered = ((ax - 2 <= 0) & (ax + 2 >= g - 1)
+               & (ay - 2 <= 0) & (ay + 2 >= g - 1))
+    kth = top_d[:, k_eff - 1]
+    ok = covered | (kth < bound - _BOUND_TOL)
+    if dist_threshold is not None:
+        ok |= bound > dist_threshold + _BOUND_TOL
+    row_ok = ~pos_valid | ok
+    exact = jnp.all(row_ok) & jnp.all(tile_ok)
+    return top_d, top_i, exact
+
+
+def topk_neighbors_banded_or_dense(
+    position: jax.Array,
+    heading: jax.Array,
+    k: int,
+    angle_threshold: float,
+    dense_fn: Callable[[], Tuple[jax.Array, jax.Array]],
+    objects: Optional[jax.Array] = None,
+    same_objects: bool = True,
+    dist_threshold: Optional[float] = None,
+    **kw,
+) -> Tuple[jax.Array, jax.Array]:
+    """Always-exact selector: banded kernel when provably exact, else the
+    caller's dense path via ``lax.cond``."""
+    bd, bi, exact = topk_neighbors_banded(
+        position, heading, k, angle_threshold, objects=objects,
+        same_objects=same_objects, dist_threshold=dist_threshold, **kw)
+    return lax.cond(exact, lambda: (bd, bi), dense_fn)

@@ -85,17 +85,24 @@ def build_cell_index(objects: jax.Array, grid_dim: int):
     sorted by cell id (invalid objects sort last, into cell G·G);
     ``offsets`` (G·G+2,) exclusive prefix starts per cell; ``lo``/
     ``cell_size`` (2,) dynamic grid origin and per-axis cell size.
+
+    The grid spans the [0.5%, 99.5%] coordinate quantiles, not min/max: a
+    handful of runaway agents (divergent synthetic rollouts produce them)
+    would otherwise stretch the box until the real crowd collapses into
+    one cell.  Outliers clip into edge cells, which keeps every exactness
+    argument intact: a clipped object's real coordinate lies beyond the
+    grid edge, so it is farther from any interior agent than the examined
+    box side in that direction, and boxes touching the edge include the
+    edge cells (hence every clipped object) as candidates.
     """
     g = grid_dim
     valid = jnp.all(jnp.isfinite(objects), axis=-1)
-    big = jnp.float32(1e30)
-    masked_lo = jnp.where(valid[:, None], objects, big)
-    masked_hi = jnp.where(valid[:, None], objects, -big)
-    lo = jnp.min(masked_lo, axis=0)
-    hi = jnp.max(masked_hi, axis=0)
+    masked = jnp.where(valid[:, None], objects, jnp.nan)
+    qs = jnp.nanquantile(masked, jnp.asarray([0.005, 0.995]), axis=0)
+    lo, hi = qs[0], qs[1]
     empty = ~jnp.any(valid)
-    lo = jnp.where(empty, 0.0, lo)
-    hi = jnp.where(empty, 1.0, hi)
+    lo = jnp.where(empty | jnp.isnan(lo), 0.0, lo)
+    hi = jnp.where(empty | jnp.isnan(hi), 1.0, hi)
     cell_size = jnp.maximum((hi - lo) / g, 1e-6)
 
     cc = jnp.clip(jnp.floor((objects - lo) / cell_size), 0, g - 1)

@@ -57,9 +57,11 @@ class NeighborConfig(NamedTuple):
     dist_threshold_obs: float = 4.0
     use_pallas_topk: bool = True   # size/backend-gated in relative_features
     topk_group: int = 0
-    # Cell-list pruning (ops/grid_pairs.py): O(N) candidate selection with
-    # an on-device exactness proof and lax.cond dense fallback — preferred
-    # over the dense passes on large single-frame calls.  Always exact.
+    # Cell-list pruning: O(N) candidate selection with an on-device
+    # exactness proof and lax.cond dense fallback — on TPU the banded
+    # Pallas kernel (ops/banded.py, measured 4.5×/2.8× faster than the
+    # dense kernel on the agent/obstacle pass at N = 12,685); the pure-XLA
+    # twin (ops/grid_pairs.py) is the verification path.  Always exact.
     use_grid_topk: bool = True
 
 
@@ -315,20 +317,24 @@ def relative_features(
         cfg.use_pallas_topk and big_single_frame
         and jax.default_backend() == "tpu"
     )
-    # The pure-XLA cell-list pays off only where random gathers are cheap:
-    # on CPU the O(N) candidate set wins big at dense N, but on TPU an
-    # (N, 630)-index gather lowers to ~50 ms — measured 62× SLOWER than the
-    # dense Pallas kernel at N = 12,685.  The TPU route to O(N) is the
-    # banded kernel over the cell-sorted table (contiguous windows, no
-    # gathers); until that is the default, the grid path is CPU-only.
-    use_grid = (cfg.use_grid_topk and big_single_frame
-                and jax.default_backend() != "tpu")
+    # Cell-list acceleration (use_grid_topk): on TPU the banded Pallas
+    # kernel (ops/banded.py — cell-sorted table, contiguous windows, no
+    # gathers) replaces the O(N·M) dense pass; the pure-XLA cell list
+    # (ops/grid_pairs.py) is gather-bound on TPU (measured 62× slower at
+    # N = 12,685) and stays a CPU/reference path only.  Both prove
+    # exactness on device and lax.cond back to the dense pass otherwise.
+    # (off-TPU the banded kernel runs in interpret mode; that is only
+    # useful for verification, so it requires explicitly disabling the
+    # dense Pallas path)
+    use_banded = (cfg.use_grid_topk and big_single_frame
+                  and (jax.default_backend() == "tpu"
+                       or not cfg.use_pallas_topk))
 
     def _ped_dense():
         if use_pallas:
             from piml_tpu.ops.pairwise import topk_neighbors_pallas
 
-            # pallas/grid indices address the un-padded table; all tables
+            # pallas/banded indices address the un-padded table; all tables
             # agree on the first n_real rows, so the shared gather below
             # stays valid
             return topk_neighbors_pallas(
@@ -339,10 +345,10 @@ def relative_features(
             same_objects=True, topk_group=cfg.topk_group,
         )
 
-    if use_grid:
-        from piml_tpu.ops.grid_pairs import topk_neighbors_grid
+    if use_banded:
+        from piml_tpu.ops.banded import topk_neighbors_banded_or_dense
 
-        ped_dist, ped_idx = topk_neighbors_grid(
+        ped_dist, ped_idx = topk_neighbors_banded_or_dense(
             position, heading, k_ped, cfg.sight_angle_ped, _ped_dense,
             dist_threshold=cfg.dist_threshold_ped,
         )
@@ -380,10 +386,10 @@ def relative_features(
             topk_group=cfg.topk_group,
         )
 
-    if use_grid and big_obs:
-        from piml_tpu.ops.grid_pairs import topk_neighbors_grid
+    if use_banded and big_obs:
+        from piml_tpu.ops.banded import topk_neighbors_banded_or_dense
 
-        obs_dist, obs_idx = topk_neighbors_grid(
+        obs_dist, obs_idx = topk_neighbors_banded_or_dense(
             position, heading, k_obs, cfg.sight_angle_obs, _obs_dense,
             objects=obstacles_pad, same_objects=False,
             dist_threshold=cfg.dist_threshold_obs,

@@ -1,0 +1,141 @@
+"""Banded cell-list Pallas kernel (ops/banded.py) vs the dense paths.
+
+The banded kernel differences coordinates with the same expression tree as
+the dense Pallas kernel, so wherever its exactness predicate holds the
+result must be BIT-identical to the dense kernel (interpret mode on CPU
+here; the same comparison runs compiled on TPU in the perf guard).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from piml_tpu.ops.banded import topk_neighbors_banded, \
+    topk_neighbors_banded_or_dense
+from piml_tpu.ops.pairwise import topk_neighbors_pallas
+from piml_tpu.physics.features import heading_direction
+
+
+def _scene(rng, n, extent, inward=True):
+    pos = (rng.rand(n, 2).astype(np.float32) * extent).astype(np.float32)
+    if inward:
+        vel = (extent / 2 - pos) + rng.randn(n, 2).astype(np.float32)
+    else:
+        vel = rng.randn(n, 2).astype(np.float32)
+    heading = heading_direction(jnp.asarray(vel), time_axis=False)
+    return jnp.asarray(pos), heading
+
+
+@pytest.mark.parametrize("n,absent", [(1500, 0.0), (2000, 0.25)])
+def test_banded_bit_identical_to_dense_kernel(rng, n, absent):
+    pos, heading = _scene(rng, n, extent=60.0, inward=True)
+    if absent:
+        pos = jnp.where(jnp.asarray(rng.rand(n) < absent)[:, None],
+                        jnp.nan, pos)
+    d_b, i_b, exact = topk_neighbors_banded(pos, heading, 6, 90.0)
+    assert bool(exact)
+    d_p, i_p = topk_neighbors_pallas(pos, heading, 6, 90.0)
+    np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_p))
+    finite = np.isfinite(np.asarray(d_p))
+    np.testing.assert_array_equal(np.asarray(i_b)[finite],
+                                  np.asarray(i_p)[finite])
+
+
+def test_banded_separate_objects_bit_identical(rng):
+    n, m = 700, 3000
+    pos, heading = _scene(rng, n, extent=50.0, inward=True)
+    obs = jnp.asarray((rng.rand(m, 2) * 50.0).astype(np.float32))
+    obs = jnp.where(jnp.asarray(rng.rand(m) < 0.1)[:, None], jnp.nan, obs)
+    d_b, i_b, exact = topk_neighbors_banded(pos, heading, 10, 90.0,
+                                            objects=obs, same_objects=False)
+    assert bool(exact)
+    d_p, i_p = topk_neighbors_pallas(pos, heading, 10, 90.0, objects=obs,
+                                     same_objects=False)
+    np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_p))
+    finite = np.isfinite(np.asarray(d_p))
+    np.testing.assert_array_equal(np.asarray(i_b)[finite],
+                                  np.asarray(i_p)[finite])
+
+
+def test_banded_exact_ties_lattice():
+    """Integer lattice + 180° sight: distances tie in groups; tie order
+    (lowest original id) must match the dense kernel exactly."""
+    side = 40
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    pos = jnp.asarray(
+        np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float32) * 2.0)
+    heading = jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32),
+                       (pos.shape[0], 1))
+    d_b, i_b, exact = topk_neighbors_banded(pos, heading, 6, 180.0)
+    assert bool(exact)
+    d_p, i_p = topk_neighbors_pallas(pos, heading, 6, 180.0)
+    np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_p))
+    finite = np.isfinite(np.asarray(d_p))
+    np.testing.assert_array_equal(np.asarray(i_b)[finite],
+                                  np.asarray(i_p)[finite])
+
+
+def test_banded_threshold_predicate(rng):
+    """Sparse scene: selection predicate fails, the dist_threshold
+    (feature-level) predicate holds when cells dwarf the threshold."""
+    pos, heading = _scene(rng, 800, extent=1000.0, inward=False)
+    _, _, exact_sel = topk_neighbors_banded(pos, heading, 6, 90.0,
+                                            grid_dim=16)
+    _, _, exact_feat = topk_neighbors_banded(pos, heading, 6, 90.0,
+                                             grid_dim=16,
+                                             dist_threshold=4.0)
+    assert not bool(exact_sel)
+    assert bool(exact_feat)
+
+
+def test_banded_window_overflow_falls_back(rng):
+    """A tight cluster inside a wide scene (10% spread agents keep the
+    quantile grid bounds wide): the cluster tile's window overflows and
+    the composed selector must route to dense."""
+    n = 600
+    pos = (rng.rand(n, 2) * 0.5 + 100.0).astype(np.float32)
+    pos[:60] = (rng.rand(60, 2) * 100.0).astype(np.float32)
+    pos = jnp.asarray(pos)
+    heading = jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (n, 1))
+    _, _, exact = topk_neighbors_banded(pos, heading, 6, 90.0, grid_dim=16,
+                                        window=128)
+    assert not bool(exact)
+    sentinel = (jnp.full((n, 6), -1.0), jnp.full((n, 6), -7, jnp.int32))
+    d_sel, i_sel = topk_neighbors_banded_or_dense(
+        pos, heading, 6, 90.0, lambda: sentinel, grid_dim=16, window=128)
+    np.testing.assert_array_equal(np.asarray(d_sel), -1.0)
+    np.testing.assert_array_equal(np.asarray(i_sel), -7)
+
+
+def test_banded_runaway_outliers_bit_identical(rng):
+    """Runaway agents must not collapse the grid (quantile bounds): the
+    core crowd stays resolved and the result still bit-matches the dense
+    kernel."""
+    n = 2000
+    pos = (rng.rand(n, 2) * 60.0).astype(np.float32)
+    pos[0] = (-4000.0, -4000.0)
+    pos[1] = (7000.0, 30.0)
+    pos[2] = (30.0, 9000.0)
+    pos = jnp.asarray(pos)
+    vel = (30.0 - pos) + jnp.asarray(rng.randn(n, 2).astype(np.float32))
+    heading = heading_direction(vel, time_axis=False)
+    d_b, i_b, exact = topk_neighbors_banded(pos, heading, 6, 90.0,
+                                            dist_threshold=4.0)
+    assert bool(exact)
+    d_p, i_p = topk_neighbors_pallas(pos, heading, 6, 90.0)
+    # the dist_threshold predicate guarantees THRESHOLD-MASKED equality
+    # (beyond-threshold slot occupants may differ; features zero them)
+    d_b, i_b = np.asarray(d_b), np.asarray(i_b)
+    d_p, i_p = np.asarray(d_p), np.asarray(i_p)
+    in_thr = d_p <= 4.0
+    assert (np.where(in_thr, d_b, 0) == np.where(in_thr, d_p, 0)).all()
+    assert ((d_b <= 4.0) == in_thr).all()
+    np.testing.assert_array_equal(i_b[in_thr], i_p[in_thr])
+
+
+def test_banded_all_invalid():
+    pos = jnp.full((512, 2), jnp.nan)
+    heading = jnp.zeros((512, 2))
+    d, i, exact = topk_neighbors_banded(pos, heading, 6, 90.0)
+    assert bool(exact)
+    assert not np.isfinite(np.asarray(d)).any()

@@ -153,18 +153,47 @@ def test_grid_sparse_scene_falls_back(rng):
 
 
 def test_grid_band_overflow_falls_back(rng):
-    """All agents stacked into one cell: the band window overflows and the
-    predicate must refuse (a wrong answer here would silently drop
-    candidates)."""
+    """A tight cluster inside a wide scene: the cluster cell's band window
+    overflows and the predicate must refuse (a wrong answer here would
+    silently drop candidates).  10% spread agents keep the quantile-based
+    grid bounds wide."""
     n = 600
-    pos = jnp.asarray((rng.rand(n, 2) * 0.5 + 100.0).astype(np.float32))
-    # a distant outlier stretches the bounding box so the cluster occupies
-    # a single cell of a 16×16 grid
-    pos = pos.at[0].set(jnp.asarray([0.0, 0.0]))
+    pos = (rng.rand(n, 2) * 0.5 + 100.0).astype(np.float32)
+    pos[:60] = (rng.rand(60, 2) * 100.0).astype(np.float32)
+    pos = jnp.asarray(pos)
     heading = jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (n, 1))
     _, _, exact = grid_topk_neighbors(pos, heading, 6, 90.0, grid_dim=16,
                                       band_width=32)
     assert not bool(exact)
+
+
+def test_grid_runaway_outliers_stay_exact(rng):
+    """A few runaway agents (divergent-rollout artifact) must NOT collapse
+    the grid: quantile bounds keep the core crowd resolved, outliers clip
+    into edge cells, and the result stays exact vs the dense pass."""
+    n = 2000
+    pos = (rng.rand(n, 2) * 60.0).astype(np.float32)
+    pos[0] = (-4000.0, -4000.0)
+    pos[1] = (7000.0, 30.0)
+    pos[2] = (30.0, 9000.0)
+    pos = jnp.asarray(pos)
+    vel = (30.0 - pos) + jnp.asarray(rng.randn(n, 2).astype(np.float32))
+    heading = heading_direction(vel, time_axis=False)
+    d_g, i_g, exact = grid_topk_neighbors(pos, heading, 6, 90.0,
+                                          dist_threshold=4.0)
+    assert bool(exact)
+    # compare against the Pallas dense kernel, whose distance arithmetic is
+    # bit-identical to the grid path (direct differencing) — the guarantee
+    # is threshold-masked equality
+    from piml_tpu.ops.pairwise import topk_neighbors_pallas
+
+    d_p, i_p = topk_neighbors_pallas(pos, heading, 6, 90.0)
+    d_g, i_g = np.asarray(d_g), np.asarray(i_g)
+    d_p, i_p = np.asarray(d_p), np.asarray(i_p)
+    in_thr = d_p <= 4.0
+    assert (np.where(in_thr, d_g, 0) == np.where(in_thr, d_p, 0)).all()
+    assert ((d_g <= 4.0) == in_thr).all()
+    np.testing.assert_array_equal(i_g[in_thr], i_p[in_thr])
 
 
 def test_grid_threshold_predicate_feature_exact(rng):
@@ -223,10 +252,10 @@ def test_grid_agents_outside_object_extent(rng):
 
 
 def test_relative_features_grid_path_matches_dense():
-    """End-to-end: relative_features with the grid gate engaged (pair count
-    ≥ 2²¹) is bit-identical to the dense path on a lattice scene (exact
-    arithmetic in both distance formulas ⇒ identical selection and
-    features)."""
+    """End-to-end: relative_features with the cell-list gate engaged (pair
+    count ≥ 2²¹; the banded kernel in interpret mode off-TPU) is
+    bit-identical to the dense path on a lattice scene (exact arithmetic
+    in both distance formulas ⇒ identical selection and features)."""
     side = 46  # 2116 agents ⇒ 2116² pairs ≥ the 2²¹ gate
     xs, ys = np.meshgrid(np.arange(side), np.arange(side))
     pos = np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float32) * 2.0
