@@ -44,12 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF = jnp.inf
 LANE = 128
-# Scoped-VMEM model for the tile picker, fitted to measured compile
-# boundaries on v5e (Mosaic's scoped limit is 16 MB): ~2 live f32 work
-# tiles (8·tile_n·tile_m bytes) plus the double-buffered (8, tile_m)
-# input block (64·tile_m bytes).  Measured: (128, 12800) OK,
-# (64, 25600) OK, (32, 51200) OK at 16.4 MB, (16, 102400) OOMs at
-# 21.8 MB, (8, 102400) OK.
+# Scoped-VMEM model for the tile picker, re-fitted to the lean-extraction
+# kernel's measured compile boundaries on v5e (Mosaic's scoped limit is
+# 16 MB): ~2.25 live f32 work tiles (9·tile_n·tile_m bytes), the
+# per-iteration (8, tile_m) block slice (32·tile_m bytes), plus the
+# resident (8, m_pad) column input (64·m_r bytes).  Anchors: (128, 12800)
+# compiles (model 16.0 MB), (8, 102400) OOMs at a measured 17.74 MB
+# (model 17.2 MB) — the pre-lean fit lacked the 32·tile_m term and
+# wrongly admitted it.
 VMEM_SCOPED_LIMIT = 16.5e6
 
 
@@ -204,7 +206,8 @@ def _pick_tiles(m: int, tile_n: Optional[int],
         input_bytes = 64 * m_r
 
         def fits(tn, tm):
-            return 8 * tn * tm + input_bytes <= VMEM_SCOPED_LIMIT
+            return (9 * tn * tm + 32 * tm + input_bytes
+                    <= VMEM_SCOPED_LIMIT)
 
         tile_n = 128
         while tile_n > 8 and not fits(tile_n, tile_m):

@@ -156,9 +156,12 @@ def test_pick_tiles_vmem_model():
     from piml_tpu.ops.pairwise import _pick_tiles
 
     assert _pick_tiles(12685, None, None) == (128, 12800)
-    assert _pick_tiles(102400, None, None) == (8, 102400)
+    # the re-fitted model (lean kernel: + 32·tile_m block-slice term)
+    # streams narrower column tiles at very large M instead of admitting
+    # the (8, 102400) shape that Mosaic measures at 17.74 MB scoped
+    assert _pick_tiles(102400, None, None) == (8, 51200)
     tn, tm = _pick_tiles(204800, None, None)
     assert tn == 8 and tm < 204800  # streams, within the scoped limit
-    assert 8 * tn * tm + 64 * 204800 <= 16.5e6
+    assert 9 * tn * tm + 32 * tm + 64 * 204800 <= 16.5e6
     with pytest.raises(ValueError, match="shard the agent axis"):
         _pick_tiles(300000, None, None)
