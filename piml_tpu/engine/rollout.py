@@ -134,6 +134,7 @@ def make_step(
     stochastic: bool = False,
     mesh=None,
     mesh_axis: str = "ap",
+    obstacle_index=None,
 ):
     """Build the scan step ``(params, state, xs) -> (state, outputs)``.
 
@@ -171,7 +172,8 @@ def make_step(
             )
         else:
             ped_f, obs_f, dest_f = relative_features(
-                p, v, a, dest, obstacles, ncfg
+                p, v, a, dest, obstacles, ncfg,
+                obstacle_index=obstacle_index,
             )
         self_f = jnp.concatenate(
             [dest_f, hist_v, a, desired_speed], axis=-1
@@ -290,9 +292,25 @@ def rollout(
 ) -> Tuple[EngineState, StepOutputs]:
     """Run the scan: ``T_roll`` steps from ``state``; outputs are time-major."""
     stochastic = step_rngs is not None
+    # obstacles are static for the whole rollout: build the banded
+    # selector's cell index ONCE here (a loop constant of the scan) so the
+    # per-frame cost inside the scan is the kernel alone
+    obstacle_index = None
+    if not cfg.shard_agents:
+        from piml_tpu.physics.features import prepare_obstacle_index
+
+        # mirror features_for exactly: the scan rebuilds features with the
+        # state-seeded neighbor widths, not the config's
+        ncfg_k = cfg.neighbor._replace(
+            topk_ped=state.ped_f.shape[-2],
+            topk_obs=state.obs_f.shape[-2],
+        )
+        obstacle_index = prepare_obstacle_index(
+            state.p.shape[-2], obstacles, ncfg_k)
     step = make_step(apply_fn, cfg, waypoints, dest_num, obstacles,
                      desired_speed, stochastic=stochastic,
-                     mesh=mesh, mesh_axis=mesh_axis)
+                     mesh=mesh, mesh_axis=mesh_axis,
+                     obstacle_index=obstacle_index)
 
     def body(carry, xs):
         return step(params, carry, xs)

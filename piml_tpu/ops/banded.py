@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Callable, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from piml_tpu.ops.grid_pairs import auto_grid_dim, build_cell_index
+
+
+class ObjectIndex(NamedTuple):
+    """Prebuilt cell index of an object table (see build_object_index).
+
+    For STATIC object tables (obstacles) build this once outside the
+    rollout scan — the sort, histogram and column-table fusions then run
+    once per scene instead of once per frame.
+    """
+
+    cols: jax.Array     # (8, m_pad) cell-sorted [x, y, valid, oid, cx, cy]
+    offsets: jax.Array  # (G·G + 2,) per-cell starts in the sorted order
+    lo: jax.Array       # (2,) grid origin (quantile-robust)
+    cs: jax.Array       # (2,) per-axis cell size
+    order: jax.Array    # (M,) object ids in cell-sorted order
 
 INF = jnp.inf
 LANE = 128
@@ -71,8 +86,9 @@ def auto_window(n: int, m: int, grid_dim: int, tile_n: int) -> int:
     return min(_round_up(max(int(want), LANE), LANE), _round_up(m, LANE))
 
 
-def _kernel(ws_ref, rows_ref, cols_ref, out_d_ref, out_i_ref, *,
-            window: int, cos_thr: float, self_pairs: bool, k: int):
+def _kernel(ws_ref, geo_ref, rows_ref, cols_ref, out_d_ref, out_i_ref, *,
+            window: int, cos_thr: float, self_pairs: bool, k: int,
+            grid_dim: int):
     i = pl.program_id(0)
     tile_n = rows_ref.shape[0]
 
@@ -81,9 +97,14 @@ def _kernel(ws_ref, rows_ref, cols_ref, out_d_ref, out_i_ref, *,
     hxa = rows_ref[:, 2:3]
     hya = rows_ref[:, 3:4]
     va = rows_ref[:, 4:5]
-    axa = rows_ref[:, 5:6]
-    aya = rows_ref[:, 6:7]
-    self_oid = rows_ref[:, 7:8]
+    self_oid = rows_ref[:, 5:6]
+    # agent cell coordinates from the grid geometry (SMEM scalars): the
+    # same f32 expression the XLA side uses, so the in-kernel 5×5 box mask
+    # agrees bit-for-bit with the exactness predicate's box
+    axa = jnp.clip(jnp.floor((xa - geo_ref[0]) / geo_ref[2]),
+                   0.0, float(grid_dim - 1))
+    aya = jnp.clip(jnp.floor((ya - geo_ref[1]) / geo_ref[3]),
+                   0.0, float(grid_dim - 1))
 
     # start shipped in LANE units so Mosaic can statically prove alignment
     start = ws_ref[i] * LANE
@@ -131,6 +152,45 @@ def _kernel(ws_ref, rows_ref, cols_ref, out_d_ref, out_i_ref, *,
     out_i_ref[:, :] = jnp.pad(safe, ((0, 0), (0, LANE - k)))
 
 
+@functools.partial(jax.jit, static_argnames=("grid_dim", "window"))
+def build_object_index(objects: jax.Array, grid_dim: int,
+                       window: int) -> ObjectIndex:
+    """Cell-sort an object table into the kernel's column layout.
+
+    ONE 4-wide row gather + vector math + ONE pad/transpose fusion: TPU
+    gathers cost ~5 ns/element, so per-component gathers and chained
+    .at[].set copies would dominate the whole pass (measured ~0.1 ms per
+    fusion at GC scale).
+    """
+    g = grid_dim
+    m = objects.shape[0]
+    obj_valid = jnp.all(jnp.isfinite(objects), axis=-1)
+    obj = jnp.where(obj_valid[:, None], objects, 0.0)
+    order, offsets, lo, cs = build_cell_index(objects, g)
+    obj4 = jnp.concatenate([
+        obj, obj_valid[:, None].astype(jnp.float32),
+        jnp.arange(m, dtype=jnp.float32)[:, None]], axis=1)       # m, 4
+    sorted4 = obj4[order]                                         # one gather
+    scc = jnp.clip(jnp.floor((sorted4[:, :2] - lo) / cs), 0, g - 1)
+    comp = jnp.concatenate([sorted4, scc], axis=1)                # m, 6
+    m_pad = _round_up(max(m, LANE), LANE) + window
+    cols = jnp.pad(comp.T, ((0, 2), (0, m_pad - m)))              # 8, m_pad
+    return ObjectIndex(cols=cols, offsets=offsets, lo=lo, cs=cs,
+                       order=order)
+
+
+def banded_params(n: int, m: int, k: int, tile_n: int = 128,
+                  grid_dim: Optional[int] = None,
+                  window: Optional[int] = None) -> Tuple[int, int]:
+    """Static (grid_dim, window) the selector will use for these shapes —
+    callers prebuilding an ObjectIndex must build with exactly these."""
+    if grid_dim is None:
+        grid_dim = auto_grid_dim(m, k)
+    if window is None:
+        window = auto_window(n, m, grid_dim, tile_n)
+    return grid_dim, window
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "angle_threshold", "same_objects", "grid_dim",
@@ -148,6 +208,8 @@ def topk_neighbors_banded(
     tile_n: int = 128,
     dist_threshold: Optional[float] = None,
     interpret: Optional[bool] = None,
+    index: Optional[ObjectIndex] = None,
+    agent_order: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Banded cell-list FOV top-k: ``(dist (N,k'), idx (N,k'), exact ())``.
 
@@ -155,6 +217,13 @@ def topk_neighbors_banded(
     ``grid_pairs.grid_topk_neighbors`` (selection-exact, or feature-exact
     when ``dist_threshold`` is given).  When ``exact`` is True the result
     is bit-identical to the dense Pallas kernel.
+
+    ``index``: prebuilt ``build_object_index(objects, *banded_params(...))``
+    — pass it for STATIC object tables (obstacles) so the per-frame cost
+    is the kernel alone; ``objects`` is then used only for its shape.
+    ``agent_order``: precomputed ``(aorder, inv)`` agent sort, shareable
+    between passes of the same frame (any spatially-coherent order works;
+    it only affects window tightness, never correctness).
     """
     if objects is None:
         objects = position
@@ -162,10 +231,7 @@ def topk_neighbors_banded(
     n = position.shape[0]
     m = objects.shape[0]
     k_eff = min(k, m)
-    if grid_dim is None:
-        grid_dim = auto_grid_dim(m, k)
-    if window is None:
-        window = auto_window(n, m, grid_dim, tile_n)
+    grid_dim, window = banded_params(n, m, k, tile_n, grid_dim, window)
     g = grid_dim
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -173,70 +239,67 @@ def topk_neighbors_banded(
     pos_valid = jnp.all(jnp.isfinite(position), axis=-1)
     pos = jnp.where(pos_valid[:, None], position, 0.0)
     hd = jnp.where(jnp.isfinite(heading), heading, 0.0)
-    obj_valid = jnp.all(jnp.isfinite(objects), axis=-1)
-    obj = jnp.where(obj_valid[:, None], objects, 0.0)
 
-    order, offsets, lo, cs = build_cell_index(objects, g)
-
-    # ---- cell-sorted column table (8, M_pad + window) -------------------
-    # ONE 4-wide row gather + vector math + ONE pad/transpose fusion: TPU
-    # gathers cost ~5 ns/element, so per-component gathers and chained
-    # .at[].set copies would dominate the whole pass (measured ~0.1 ms per
-    # fusion at GC scale)
-    obj4 = jnp.concatenate([
-        obj, obj_valid[:, None].astype(jnp.float32),
-        jnp.arange(m, dtype=jnp.float32)[:, None]], axis=1)       # m, 4
-    sorted4 = obj4[order]                                         # one gather
-    scc = jnp.clip(jnp.floor((sorted4[:, :2] - lo) / cs), 0, g - 1)
-    comp = jnp.concatenate([sorted4, scc], axis=1)                # m, 6
-    m_pad = _round_up(max(m, LANE), LANE) + window
-    cols = jnp.pad(comp.T, ((0, 2), (0, m_pad - m)))              # 8, m_pad
+    if index is None:
+        index = build_object_index(objects, g, window)
+    cols, offsets, lo, cs = (index.cols, index.offsets, index.lo, index.cs)
+    m_pad = cols.shape[1]
 
     # ---- agents sorted by their cell id in the OBJECT grid --------------
     # invalid agents pinned to the last cell: they sort to the end (like
     # invalid objects) instead of dragging tile windows toward cell 0
     acell = jnp.clip(jnp.floor((pos - lo) / cs), 0, g - 1).astype(jnp.int32)
     acell = jnp.where(pos_valid[:, None], acell, g - 1)
-    if same_objects:
-        aorder = order
+    if agent_order is not None:
+        aorder, inv = agent_order
+    elif same_objects:
+        aorder = index.order
+        inv = jnp.zeros(n, jnp.int32).at[aorder].set(
+            jnp.arange(n, dtype=jnp.int32))
     else:
         acid = acell[:, 0] * g + acell[:, 1]
         aorder = jnp.argsort(acid, stable=True).astype(jnp.int32)
-    inv = jnp.zeros(n, jnp.int32).at[aorder].set(
-        jnp.arange(n, dtype=jnp.int32))
+        inv = jnp.zeros(n, jnp.int32).at[aorder].set(
+            jnp.arange(n, dtype=jnp.int32))
 
     n_pad = _round_up(max(n, tile_n), tile_n)
     pad_rows = n_pad - n
     # pad by repeating the last sorted agent (valid = 0) so padded rows do
-    # not stretch the tile windows; ONE 8-wide row gather builds the table
+    # not stretch the tile windows; ONE 6-wide row gather builds the
+    # (pass-independent — cells are derived in-kernel) sorted table
     aidx = jnp.concatenate(
         [aorder, jnp.broadcast_to(aorder[-1:], (pad_rows,))])
     rows_unsorted = jnp.concatenate([
         pos, hd, pos_valid[:, None].astype(jnp.float32),
-        acell.astype(jnp.float32),
         jnp.arange(n, dtype=jnp.float32)[:, None],
-    ], axis=1)                                       # n, 8
-    rows = rows_unsorted[aidx]                       # one gather
+    ], axis=1)                                       # n, 6
+    rows = jnp.pad(rows_unsorted[aidx], ((0, 0), (0, 2)))  # one gather
     rows = rows.at[:, 4].multiply(
         (jnp.arange(n_pad) < n).astype(jnp.float32))
 
-    # ---- per-tile windows ------------------------------------------------
+    # ---- per-tile windows (vector math on the sorted table — no gather;
+    # invalid rows pinned to the last cell row like the XLA-side sort) ----
     num_tiles = n_pad // tile_n
-    ax_t = rows[:, 5].astype(jnp.int32).reshape(num_tiles, tile_n)
+    ax_sorted = jnp.clip(jnp.floor((rows[:, 0] - lo[0]) / cs[0]),
+                         0, g - 1).astype(jnp.int32)
+    ax_sorted = jnp.where(rows[:, 4] > 0.5, ax_sorted, g - 1)
+    ax_t = ax_sorted.reshape(num_tiles, tile_n)
     cx0 = jnp.clip(jnp.min(ax_t, axis=1) - 2, 0, g - 1)
     cx1 = jnp.clip(jnp.max(ax_t, axis=1) + 2, 0, g - 1)
     win_start_lanes = offsets[cx0 * g] // LANE       # lane-aligned, in units
     win_end = offsets[(cx1 + 1) * g]
     tile_ok = (win_end - win_start_lanes * LANE) <= window   # num_tiles
 
+    geo = jnp.stack([lo[0], lo[1], cs[0], cs[1]])
     cos_thr = math.cos(3.14 * angle_threshold / 180.0)
     grid = (num_tiles,)
     out_d, out_i = pl.pallas_call(
         functools.partial(_kernel, window=window, cos_thr=cos_thr,
-                          self_pairs=same_objects, k=k_eff),
+                          self_pairs=same_objects, k=k_eff, grid_dim=g),
         interpret=interpret,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_n, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -253,7 +316,7 @@ def topk_neighbors_banded(
             jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, LANE), jnp.int32),
         ),
-    )(win_start_lanes, rows, cols)
+    )(win_start_lanes, geo, rows, cols)
 
     # slice FIRST, then un-sort: gathering (N, k) costs ~100k elements;
     # gathering (N_pad, LANE) rows before slicing costs ~3 MB per output

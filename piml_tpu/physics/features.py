@@ -271,6 +271,33 @@ def _pad_object_axis(x: jax.Array, minimum: int = 128):
     return jnp.concatenate([x, pad], axis=-2), m
 
 
+def prepare_obstacle_index(n_agents: int, obstacles: jax.Array,
+                           cfg: NeighborConfig):
+    """Prebuild the banded selector's obstacle cell index (ops/banded.py).
+
+    The obstacle table is static per scene, so building its sorted column
+    table once OUTSIDE the rollout scan (and closing over it in the scan
+    body) saves the per-frame sort/histogram/table fusions.  Returns None
+    when the banded path would not engage for these shapes — safe to pass
+    either way to :func:`relative_features`.
+    """
+    obstacles_pad, m_real = _pad_object_axis(obstacles)
+    n_pad = max(128, -(-n_agents // 128) * 128)
+    engaged = (
+        cfg.use_grid_topk
+        and n_agents * n_pad >= 2 ** 21
+        and n_agents * obstacles_pad.shape[0] >= 2 ** 21
+        and (jax.default_backend() == "tpu" or not cfg.use_pallas_topk)
+    )
+    if not engaged:
+        return None
+    from piml_tpu.ops.banded import banded_params, build_object_index
+
+    k_obs = min(cfg.topk_obs, m_real)
+    g_o, w_o = banded_params(n_agents, obstacles_pad.shape[0], k_obs)
+    return build_object_index(obstacles_pad, g_o, w_o)
+
+
 def relative_features(
     position: jax.Array,
     velocity: jax.Array,
@@ -279,6 +306,7 @@ def relative_features(
     obstacles: jax.Array,
     cfg: NeighborConfig,
     heading: Optional[jax.Array] = None,
+    obstacle_index=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pairwise neighbor / obstacle / destination features for model input.
 
@@ -286,6 +314,8 @@ def relative_features(
       position/velocity/acceleration/destination: (..., t, N, 2) (NaN = absent)
       obstacles: (M, 2)
       heading: optional precomputed (..., t, N, 2) heading (skips the fill)
+      obstacle_index: optional prebuilt :func:`prepare_obstacle_index`
+        result (static obstacle tables: hoists the per-frame cell sort)
 
     Returns:
       ped_features: (..., t, N, k1, 6) — relative p, v, a of k1 nearest in-FOV
@@ -345,12 +375,22 @@ def relative_features(
             same_objects=True, topk_group=cfg.topk_group,
         )
 
+    agent_order = None
     if use_banded:
-        from piml_tpu.ops.banded import topk_neighbors_banded_or_dense
+        from piml_tpu.ops.banded import (banded_params, build_object_index,
+                                         topk_neighbors_banded_or_dense)
 
+        n_rows = position.shape[0]
+        g_p, w_p = banded_params(n_rows, n_rows, k_ped)
+        ped_index = build_object_index(position, g_p, w_p)
+        inv = jnp.zeros(n_rows, jnp.int32).at[ped_index.order].set(
+            jnp.arange(n_rows, dtype=jnp.int32))
+        # one spatially-coherent agent sort, shared with the obstacle pass
+        agent_order = (ped_index.order, inv)
         ped_dist, ped_idx = topk_neighbors_banded_or_dense(
             position, heading, k_ped, cfg.sight_angle_ped, _ped_dense,
-            dist_threshold=cfg.dist_threshold_ped,
+            dist_threshold=cfg.dist_threshold_ped, grid_dim=g_p, window=w_p,
+            index=ped_index, agent_order=agent_order,
         )
     else:
         ped_dist, ped_idx = _ped_dense()
@@ -387,12 +427,28 @@ def relative_features(
         )
 
     if use_banded and big_obs:
-        from piml_tpu.ops.banded import topk_neighbors_banded_or_dense
+        from piml_tpu.ops.banded import (banded_params, build_object_index,
+                                         topk_neighbors_banded_or_dense)
 
+        g_o, w_o = banded_params(position.shape[0], obstacles_pad.shape[0],
+                                 k_obs)
+        if obstacle_index is not None:
+            # a prebuilt index encodes its (grid_dim, window) in its shapes;
+            # a mismatch would silently corrupt the in-kernel cell masks
+            m_band = -(-max(obstacles_pad.shape[0], 128) // 128) * 128 + w_o
+            if (obstacle_index.offsets.shape[0] != g_o * g_o + 2
+                    or obstacle_index.cols.shape[1] != m_band):
+                raise ValueError(
+                    "obstacle_index was built with different banded params; "
+                    "build it via prepare_obstacle_index with the same "
+                    "NeighborConfig and agent count")
+        o_index = (obstacle_index if obstacle_index is not None
+                   else build_object_index(obstacles_pad, g_o, w_o))
         obs_dist, obs_idx = topk_neighbors_banded_or_dense(
             position, heading, k_obs, cfg.sight_angle_obs, _obs_dense,
             objects=obstacles_pad, same_objects=False,
-            dist_threshold=cfg.dist_threshold_obs,
+            dist_threshold=cfg.dist_threshold_obs, grid_dim=g_o, window=w_o,
+            index=o_index, agent_order=agent_order,
         )
     else:
         obs_dist, obs_idx = _obs_dense()
