@@ -181,11 +181,13 @@ def build_object_index(objects: jax.Array, grid_dim: int,
 
 def banded_params(n: int, m: int, k: int, tile_n: int = 128,
                   grid_dim: Optional[int] = None,
-                  window: Optional[int] = None) -> Tuple[int, int]:
+                  window: Optional[int] = None,
+                  fine: bool = False) -> Tuple[int, int]:
     """Static (grid_dim, window) the selector will use for these shapes —
-    callers prebuilding an ObjectIndex must build with exactly these."""
+    callers prebuilding an ObjectIndex must build with exactly these.
+    ``fine`` must mirror whether a ``dist_threshold`` will be passed."""
     if grid_dim is None:
-        grid_dim = auto_grid_dim(m, k)
+        grid_dim = auto_grid_dim(m, k, fine=fine)
     if window is None:
         window = auto_window(n, m, grid_dim, tile_n)
     return grid_dim, window
@@ -231,7 +233,8 @@ def topk_neighbors_banded(
     n = position.shape[0]
     m = objects.shape[0]
     k_eff = min(k, m)
-    grid_dim, window = banded_params(n, m, k, tile_n, grid_dim, window)
+    grid_dim, window = banded_params(n, m, k, tile_n, grid_dim, window,
+                                     fine=dist_threshold is not None)
     g = grid_dim
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -58,15 +58,24 @@ _BIG_ID = jnp.int32(2 ** 30)
 _BOUND_TOL = 1e-3  # metres; conservative slack on the exactness bound
 
 
-def auto_grid_dim(m: int, k: int) -> int:
+def auto_grid_dim(m: int, k: int, fine: bool = False) -> int:
     """Static grid dimension targeting ~k objects per cell.
 
     With occupancy ≈ k the 5×5 examined block holds ~25·k candidates, so
     the k-th in-FOV distance sits far inside the 2-cell exactness bound for
     near-uniform scenes (measured fallback rate 0 on the dense-stress
     regime), while the candidate width stays ~25·k ≪ M.
+
+    ``fine=True`` (used when a ``dist_threshold`` backs the predicate, so
+    only ``2·cell > threshold`` must hold, not ``2·cell > k-NN radius``):
+    1.5× finer cells — measured 0.89 → 0.72 ms on the banded agent pass at
+    N = 12,685.  A mis-sized grid never costs correctness, only fallback
+    frames at dense-kernel speed.
     """
-    return max(4, min(512, int(math.sqrt(max(m, 1) / max(k, 1)))))
+    g = math.sqrt(max(m, 1) / max(k, 1))
+    if fine:
+        g *= 1.5
+    return max(4, min(512, int(g)))
 
 
 def auto_band_width(m: int, grid_dim: int) -> int:

@@ -294,7 +294,8 @@ def prepare_obstacle_index(n_agents: int, obstacles: jax.Array,
     from piml_tpu.ops.banded import banded_params, build_object_index
 
     k_obs = min(cfg.topk_obs, m_real)
-    g_o, w_o = banded_params(n_agents, obstacles_pad.shape[0], k_obs)
+    g_o, w_o = banded_params(n_agents, obstacles_pad.shape[0], k_obs,
+                             fine=True)
     return build_object_index(obstacles_pad, g_o, w_o)
 
 
@@ -381,7 +382,7 @@ def relative_features(
                                          topk_neighbors_banded_or_dense)
 
         n_rows = position.shape[0]
-        g_p, w_p = banded_params(n_rows, n_rows, k_ped)
+        g_p, w_p = banded_params(n_rows, n_rows, k_ped, fine=True)
         ped_index = build_object_index(position, g_p, w_p)
         inv = jnp.zeros(n_rows, jnp.int32).at[ped_index.order].set(
             jnp.arange(n_rows, dtype=jnp.int32))
@@ -431,7 +432,7 @@ def relative_features(
                                          topk_neighbors_banded_or_dense)
 
         g_o, w_o = banded_params(position.shape[0], obstacles_pad.shape[0],
-                                 k_obs)
+                                 k_obs, fine=True)
         if obstacle_index is not None:
             # a prebuilt index encodes its (grid_dim, window) in its shapes;
             # a mismatch would silently corrupt the in-kernel cell masks

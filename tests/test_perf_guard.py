@@ -12,9 +12,10 @@ import time
 
 import pytest
 
-# round-3 measured 2.48 ms/frame at N=12,685 (banded cell-list kernel;
-# 5.3 ms on the dense-kernel path); guard at ~2x headroom for tunnel noise
-STRESS_MS_PER_FRAME_LIMIT = 5.0
+# round-3 measured 1.98 ms/frame at N=12,685 (banded cell-list kernel,
+# fine grid; 5.3 ms on the dense-kernel path); guard at ~2x headroom for
+# tunnel noise
+STRESS_MS_PER_FRAME_LIMIT = 4.0
 
 
 def _on_tpu():
