@@ -296,30 +296,46 @@ def topk_neighbors_banded(
     geo = jnp.stack([lo[0], lo[1], cs[0], cs[1]])
     cos_thr = math.cos(3.14 * angle_threshold / 180.0)
     grid = (num_tiles,)
-    out_d, out_i = pl.pallas_call(
-        functools.partial(_kernel, window=window, cos_thr=cos_thr,
-                          self_pairs=same_objects, k=k_eff, grid_dim=g),
-        interpret=interpret,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_n, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, m_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, LANE), jnp.int32),
-        ),
-    )(win_start_lanes, geo, rows, cols)
+
+    # sequential_vmap: a vmapped call (channeled BPTT finetune at dense N)
+    # lowers to lax.map over the batch — the kernel has no native batching
+    # rule, and sequential frames are the right schedule for huge-N
+    # batches anyway
+    @jax.custom_batching.sequential_vmap
+    def _run(ws, geo_, rows_, cols_):
+        return pl.pallas_call(
+            functools.partial(_kernel, window=window, cos_thr=cos_thr,
+                              self_pairs=same_objects, k=k_eff, grid_dim=g),
+            interpret=interpret,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_n, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, m_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, LANE), jnp.int32),
+            ),
+        )(ws, geo_, rows_, cols_)
+
+    out_d, out_i = _run(win_start_lanes, lax.stop_gradient(geo),
+                        lax.stop_gradient(rows), lax.stop_gradient(cols))
+    # ^ selection is non-differentiable (argmin indices; downstream feature
+    # masks compare dist against thresholds — booleans carry no gradient),
+    # and pallas_call has no JVP rule: cutting the tape at the kernel
+    # INPUTS lets the selector compose with grad (BPTT finetune at dense
+    # N).  Gradients flow through the gathered neighbor STATES, exactly
+    # like lax.top_k-based selection followed by gather.
 
     # slice FIRST, then un-sort: gathering (N, k) costs ~100k elements;
     # gathering (N_pad, LANE) rows before slicing costs ~3 MB per output

@@ -260,27 +260,38 @@ def topk_neighbors_pallas(
         interpret = jax.default_backend() != "tpu"
 
     grid = (n_pad // tile_n,)
-    out_d, out_i = pl.pallas_call(
-        functools.partial(_kernel, tile_m=tile_m, cos_thr=cos_thr,
-                          self_pairs=same_objects, k=k),
-        interpret=interpret,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_n, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, m_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, LANE), jnp.int32),
-        ),
-    )(rows, cols)
+
+    # sequential_vmap: batched calls lower to lax.map (no native batching
+    # rule for the kernel; sequential is the right schedule at these sizes)
+    @jax.custom_batching.sequential_vmap
+    def _run(rows_, cols_):
+        return pl.pallas_call(
+            functools.partial(_kernel, tile_m=tile_m, cos_thr=cos_thr,
+                              self_pairs=same_objects, k=k),
+            interpret=interpret,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_n, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, m_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, LANE), jnp.int32),
+            ),
+        )(rows_, cols_)
+
+    out_d, out_i = _run(lax.stop_gradient(rows), lax.stop_gradient(cols))
+    # ^ selection is non-differentiable and pallas_call has no JVP rule:
+    # cutting the tape at the kernel inputs lets the selector compose with
+    # grad (gradients flow through the gathered neighbor states, as with
+    # lax.top_k selection + gather)
     k_eff = min(k, m_real)
     return out_d[:n, :k_eff], out_i[:n, :k_eff]

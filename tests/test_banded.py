@@ -139,3 +139,33 @@ def test_banded_all_invalid():
     d, i, exact = topk_neighbors_banded(pos, heading, 6, 90.0)
     assert bool(exact)
     assert not np.isfinite(np.asarray(d)).any()
+
+
+def test_banded_composes_with_vmap_and_grad(rng):
+    """Channeled BPTT at dense N: the selector must compose with vmap+grad
+    (selection indices carry no gradient; sequential_vmap maps the kernel
+    over the batch) and match the dense XLA path's gradient."""
+    import jax
+
+    from piml_tpu.physics.features import NeighborConfig, relative_features
+
+    n, C = 2048, 2
+    pos = jnp.asarray((rng.rand(C, n, 2) * 70).astype(np.float32))
+    vel = jnp.asarray(rng.randn(C, n, 2).astype(np.float32))
+    acc = jnp.zeros((C, n, 2))
+    dest = pos[:, ::-1]
+    obstacles = jnp.asarray((rng.rand(4096, 2) * 70).astype(np.float32))
+
+    def grad_norm(cfg):
+        def loss(p, v):
+            pf, of, _ = relative_features(p, v, acc[0], dest[0],
+                                          obstacles, cfg)
+            return jnp.sum(pf ** 2) + jnp.sum(of ** 2)
+
+        g = jax.jit(jax.grad(lambda p: jnp.sum(jax.vmap(loss)(p, vel))))
+        return float(jnp.linalg.norm(g(pos)))
+
+    gb = grad_norm(NeighborConfig(use_grid_topk=True, use_pallas_topk=False))
+    gd = grad_norm(NeighborConfig(use_grid_topk=False,
+                                  use_pallas_topk=False))
+    assert gb == pytest.approx(gd, rel=1e-4)
