@@ -25,7 +25,6 @@ Semantics reproduced exactly (SURVEY.md §2.6):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax

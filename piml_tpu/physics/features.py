@@ -23,7 +23,6 @@ positions, which turn into +inf distances and therefore zero-padded features.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
