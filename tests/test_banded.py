@@ -169,3 +169,34 @@ def test_banded_composes_with_vmap_and_grad(rng):
     gd = grad_norm(NeighborConfig(use_grid_topk=False,
                                   use_pallas_topk=False))
     assert gb == pytest.approx(gd, rel=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_banded_fuzz_feature_equivalence(seed):
+    """Randomized densities/extents/clusters: the COMPOSED selector (grid
+    result when provably exact, dense otherwise) must always produce the
+    same threshold-masked features as the dense kernel."""
+    rng = np.random.RandomState(100 + seed)
+    n = int(rng.choice([700, 1500, 2500]))
+    extent = float(rng.choice([5.0, 40.0, 200.0, 2000.0]))
+    pos = (rng.rand(n, 2) * extent).astype(np.float32)
+    if seed % 3 == 0:  # cluster half the agents
+        pos[: n // 2] = (rng.rand(n // 2, 2) * extent * 0.02).astype(
+            np.float32)
+    if seed % 2 == 0:  # some absent agents
+        pos[rng.rand(n) < 0.2] = np.nan
+    pos = jnp.asarray(pos)
+    heading = heading_direction(
+        jnp.asarray(rng.randn(n, 2).astype(np.float32)), time_axis=False)
+
+    d_p, i_p = topk_neighbors_pallas(pos, heading, 6, 90.0)
+    d_s, i_s = topk_neighbors_banded_or_dense(
+        pos, heading, 6, 90.0,
+        lambda: topk_neighbors_pallas(pos, heading, 6, 90.0),
+        dist_threshold=4.0)
+    d_p, i_p = np.asarray(d_p), np.asarray(i_p)
+    d_s, i_s = np.asarray(d_s), np.asarray(i_s)
+    in_thr = d_p <= 4.0
+    assert ((d_s <= 4.0) == in_thr).all()
+    assert (np.where(in_thr, d_s, 0) == np.where(in_thr, d_p, 0)).all()
+    np.testing.assert_array_equal(i_s[in_thr], i_p[in_thr])
