@@ -109,7 +109,16 @@ def sinkhorn_masked_chunked(
     logsumexps (flash-attention-style), so memory is O(N·block).  This is
     the path that makes OT evaluable at the dense GC stress scale
     (N = 12,685: the dense cost matrix is 644 MB/frame *per vmapped frame*,
-    the tiles are ≤100 MB total)."""
+    the tiles are ≤100 MB total).
+
+    Roofline note (one v5e, N = 12,685): 2.6 ms/iteration — the
+    reference's ε/thresh settings genuinely run all 100 capped iterations
+    on crowd data, and each iteration is ~3.2 G VPU lane-ops (exp-heavy
+    logsumexps both directions), i.e. the loop sits AT the VPU ceiling for
+    the reference's algorithm.  Computing the cost tile via the
+    |x|²+|y|²−2xy matmul identity was measured ~2× SLOWER (a d=2
+    contraction pads to 128 on the MXU), so the direct VPU differencing
+    stays."""
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     y = jnp.where(jnp.isfinite(y), y, 0.0)
     pad_x = -x.shape[0] % block
