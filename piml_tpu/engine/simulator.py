@@ -251,6 +251,13 @@ def training_rollout_loss(
         ),
         remat=remat,
     )
+    # The rollout below is vmapped over channels: lax.cond degrades to
+    # select under vmap, which would execute BOTH the banded cell-list
+    # probe AND its dense fallback every frame — strictly slower than
+    # dense alone.  The banded path is an eval/rollout optimization; keep
+    # the training feature pass on the dense kernels.
+    ecfg = dataclasses.replace(
+        ecfg, neighbor=ecfg.neighbor._replace(use_grid_topk=False))
 
     def one_channel(p0, v0, a0, dest0, didx0, pf0, of0, sf0, spawns, rngs):
         state = init_state(p0, v0, a0, dest0, didx0, pf0, of0, sf0)
