@@ -245,6 +245,14 @@ def topk_neighbors_banded(
 
     if index is None:
         index = build_object_index(objects, g, window)
+    elif index.cols.shape[1] != _round_up(max(m, LANE), LANE) + window or \
+            index.offsets.shape[0] != g * g + 2:
+        # a mismatched prebuilt index would let the kernel's dynamic slice
+        # run past the padded table (and skew the cell masks)
+        raise ValueError(
+            f"prebuilt ObjectIndex does not match banded params "
+            f"(grid_dim={g}, window={window}); build it with "
+            f"build_object_index(objects, *banded_params(...))")
     cols, offsets, lo, cs = (index.cols, index.offsets, index.lo, index.cs)
     m_pad = cols.shape[1]
 
