@@ -40,7 +40,16 @@ def build_run(group: int):
     ds = jnp.full((n, 1), 1.34)
 
     ncfg = NeighborConfig(topk_group=group)
-    cfg, params, apply_fn = _model_and_cfg((6, 6, 7), 0.08)
+    cfg, params, raw_apply = _model_and_cfg((6, 6, 7), 0.08)
+
+    # same bounded dynamics as bench.py's dense regime: unclamped random
+    # weights fling agents kilometres out by frame ~12, which both empties
+    # the crowd and forces the banded kernel's dense fallback — the trace
+    # would profile the wrong regime
+    def apply_fn(pr, pf, of, sf):
+        out = raw_apply(pr, pf, of, sf)
+        return out._replace(pred_acc=jnp.clip(out.pred_acc, -5.0, 5.0))
+
     ecfg = EngineConfig(neighbor=ncfg, time_unit=0.08, lagged=True,
                         retire_on_arrival=True, remat=False)
 
@@ -94,8 +103,11 @@ def summarize_trace(trace_dir: str, frames: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--group", type=int, default=512,
-                    help="topk_group (0 = plain wide lax.top_k)")
+    ap.add_argument("--group", type=int, default=0,
+                    help="topk_group for the XLA fallback path (0 = plain "
+                         "wide lax.top_k); the default NeighborConfig now "
+                         "routes the hot path through the banded cell-list "
+                         "kernel regardless, so traces reflect production")
     ap.add_argument("--trace_dir", default="/tmp/piml_trace")
     cli = ap.parse_args()
 
