@@ -55,10 +55,16 @@ class EngineConfig:
                                     # windows are latency-bound (~200 small
                                     # kernels/step at paper size); unrolling
                                     # lets XLA fuse across time steps
-    shard_agents: bool = False      # N² pair pass via the ICI ring
-                                    # (parallel/agent_shard.py); requires a
-                                    # mesh passed to make_step/rollout and
-                                    # N divisible by the mesh axis
+    shard_agents: bool = False      # agent-sharded pair pass
+                                    # (parallel/agent_shard.py): the O(N)
+                                    # banded kernel per shard vs the
+                                    # all-gathered table when
+                                    # neighbor.use_grid_topk engages at
+                                    # scale (ring-pass fallback inside),
+                                    # else the ICI-ring streaming pass;
+                                    # requires a mesh passed to
+                                    # make_step/rollout and N divisible by
+                                    # the mesh axis
 
 
 @struct.dataclass
@@ -164,9 +170,26 @@ def make_step(
         # widen mid-scan and break the carry shape.
         ncfg = cfg.neighbor._replace(topk_ped=k1, topk_obs=k2)
         if cfg.shard_agents:
-            from piml_tpu.parallel.agent_shard import sharded_relative_features
+            # same engagement policy as the single-chip path
+            # (physics/features.py): the banded O(N) kernel once the pair
+            # grid is large enough to amortize its support ops, on TPU
+            # (off-TPU it would run in slow interpret mode); exactness
+            # failures fall back to the always-correct ring pass inside
+            use_banded = (
+                ncfg.use_grid_topk
+                and p.shape[0] * p.shape[0] >= 2 ** 21
+                and jax.default_backend() == "tpu"
+            )
+            if use_banded:
+                from piml_tpu.parallel.agent_shard import (
+                    sharded_banded_features as _sharded_features,
+                )
+            else:
+                from piml_tpu.parallel.agent_shard import (
+                    sharded_relative_features as _sharded_features,
+                )
 
-            ped_f, obs_f, dest_f = sharded_relative_features(
+            ped_f, obs_f, dest_f = _sharded_features(
                 p, v, a, dest, obstacles, ncfg, mesh, axis=mesh_axis
             )
         else:

@@ -212,6 +212,7 @@ def topk_neighbors_banded(
     interpret: Optional[bool] = None,
     index: Optional[ObjectIndex] = None,
     agent_order: Optional[Tuple[jax.Array, jax.Array]] = None,
+    self_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Banded cell-list FOV top-k: ``(dist (N,k'), idx (N,k'), exact ())``.
 
@@ -226,6 +227,11 @@ def topk_neighbors_banded(
     ``agent_order``: precomputed ``(aorder, inv)`` agent sort, shareable
     between passes of the same frame (any spatially-coherent order works;
     it only affects window tightness, never correctness).
+    ``self_ids``: per-query ids in the OBJECT table's id space — queries
+    that are a SHARD of the object table (agent-axis sharding,
+    parallel/agent_shard.py) pass their global agent indices here so the
+    self-pair gets the dense kernel's pinned dist-0/cos-0 semantics even
+    though ``same_objects`` is False (query count ≠ object count).
     """
     if objects is None:
         objects = position
@@ -280,9 +286,11 @@ def topk_neighbors_banded(
     # (pass-independent — cells are derived in-kernel) sorted table
     aidx = jnp.concatenate(
         [aorder, jnp.broadcast_to(aorder[-1:], (pad_rows,))])
+    ids = (self_ids.astype(jnp.float32) if self_ids is not None
+           else jnp.arange(n, dtype=jnp.float32))
     rows_unsorted = jnp.concatenate([
         pos, hd, pos_valid[:, None].astype(jnp.float32),
-        jnp.arange(n, dtype=jnp.float32)[:, None],
+        ids[:, None],
     ], axis=1)                                       # n, 6
     rows = jnp.pad(rows_unsorted[aidx], ((0, 0), (0, 2)))  # one gather
     rows = rows.at[:, 4].multiply(
@@ -313,7 +321,8 @@ def topk_neighbors_banded(
     def _run(ws, geo_, rows_, cols_):
         return pl.pallas_call(
             functools.partial(_kernel, window=window, cos_thr=cos_thr,
-                              self_pairs=same_objects, k=k_eff, grid_dim=g),
+                              self_pairs=same_objects or self_ids is not None,
+                              k=k_eff, grid_dim=g),
             interpret=interpret,
             grid=grid,
             in_specs=[

@@ -9,6 +9,7 @@ from piml_tpu.parallel.sharding import (  # noqa: F401
     shard_leading,
 )
 from piml_tpu.parallel.agent_shard import (  # noqa: F401
+    sharded_banded_features,
     ring_topk_neighbors,
     sharded_relative_features,
 )

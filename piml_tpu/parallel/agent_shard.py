@@ -27,7 +27,11 @@ from jax import shard_map
 
 from piml_tpu.physics.features import INF, NeighborConfig, heading_direction
 
-__all__ = ["ring_topk_neighbors", "sharded_relative_features"]
+__all__ = [
+    "ring_topk_neighbors",
+    "sharded_relative_features",
+    "sharded_banded_features",
+]
 
 
 def _tile_scores(q_pos, q_head, q_absent, q_gidx, key_tile, k_gidx,
@@ -196,3 +200,120 @@ def sharded_relative_features(
 
     obs_features = obs_pass(position, heading, state)
     return ped_features, obs_features, dest
+
+
+def sharded_banded_features(
+    position: jax.Array,
+    velocity: jax.Array,
+    acceleration: jax.Array,
+    destination: jax.Array,
+    obstacles: jax.Array,
+    cfg: NeighborConfig,
+    mesh: Mesh,
+    axis: str = "ap",
+):
+    """O(N) multi-chip feature pass: the banded cell-list kernel under
+    agent-axis sharding.
+
+    The ring pass above is O(N²/D) per device — it still scores every
+    query against every candidate tile.  Here the full agent state table
+    is ``all_gather``-ed instead (it is tiny: (N, 6) f32 = 2.4 MB at
+    N = 100k, one hop over ICI), each device cell-sorts the global table
+    and runs the banded kernel (ops/banded.py) on its LOCAL query shard
+    against it, so per-device work is O(N/D · window) — the same O(N)
+    scaling as the single-chip banded path, divided by D.  This sidesteps
+    the open problem of exactness bookkeeping across ring steps: each
+    device proves exactness for its own queries against the full table and
+    the proofs are AND-reduced with a ``psum``; if any device fails, the
+    whole pass falls back to the always-correct ring pass via ``lax.cond``.
+
+    When the reduced proof holds, the result is BIT-IDENTICAL to the
+    single-device dense pass (the banded kernel breaks ties by lowest
+    global object id, exactly like ``lax.top_k``) — a stronger guarantee
+    than the ring pass, whose tie order may differ.
+
+    Same contract as :func:`sharded_relative_features` (the reference has
+    no distributed pair pass at all — src/models/simulators.py:595-652 is
+    a single-process Python loop; this is the TPU scaling story, not a
+    port).
+    """
+    from piml_tpu.ops.banded import (banded_params, build_object_index,
+                                     topk_neighbors_banded)
+    from piml_tpu.physics.features import _pad_object_axis, nearby_in_sight
+
+    n_dev = mesh.shape[axis]
+    n = position.shape[0]
+    assert n % n_dev == 0, f"N={n} must divide the {axis}-axis ({n_dev})"
+    m_loc = n // n_dev
+
+    velocity = jnp.where(jnp.isnan(velocity), 0.0, velocity)
+    acceleration = jnp.where(jnp.isnan(acceleration), 0.0, acceleration)
+    heading = heading_direction(velocity, time_axis=False)
+    state = jnp.concatenate([position, velocity, acceleration], axis=-1)
+
+    k1 = min(cfg.topk_ped, n)
+    # static banded params: m_loc queries per device vs the global table.
+    # A tile of sorted LOCAL queries spans ~D× more cells than on one chip
+    # (local occupancy is N/D over the same grid), which auto_window's
+    # n-argument accounts for — windows widen, the 5-cell-row base term
+    # still dominates, so per-device work stays ~1/D of single-chip.
+    g_p, w_p = banded_params(m_loc, n, k1, fine=True)
+
+    obstacles_pad, m_real = _pad_object_axis(obstacles)
+    k2 = min(cfg.topk_obs, m_real)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+        # pallas_call's out_shape carries no varying-mesh-axes info, so the
+        # vma checker cannot see through it; replication of the psum'd
+        # exact flag is guaranteed by construction
+        check_vma=False,
+    )
+    def run(state_tile, heading_tile):
+        my = lax.axis_index(axis)
+        gstate = lax.all_gather(state_tile, axis, axis=0, tiled=True)  # N, 6
+        gpos = gstate[:, :2]                     # NaN rows = absent agents
+        index = build_object_index(gpos, g_p, w_p)
+        self_ids = my * m_loc + jnp.arange(m_loc)
+        dist, idx, exact = topk_neighbors_banded(
+            state_tile[:, :2], heading_tile, k1, cfg.sight_angle_ped,
+            objects=gpos, same_objects=False, grid_dim=g_p, window=w_p,
+            dist_threshold=cfg.dist_threshold_ped, index=index,
+            self_ids=self_ids,
+        )
+        # assemble exactly like the single-device path
+        # (physics/features.py relative_features): gather rows, subtract
+        # the raw local state (NaN query rows zero out via isfinite)
+        gathered = jnp.take(gstate, idx, axis=0)            # m_loc, k1, 6
+        rel = gathered - state_tile[:, None, :]
+        keep = (dist <= cfg.dist_threshold_ped)[..., None]
+        ped_f = jnp.where(keep & jnp.isfinite(rel), rel, 0.0)
+
+        # obstacle pass: local per shard against the replicated table
+        # (obstacle tables are small; identical to the ring pass's)
+        od, oi = nearby_in_sight(state_tile[:, :2], obstacles_pad,
+                                 heading_tile, k2, cfg.sight_angle_obs)
+        zeros = jnp.zeros_like(obstacles_pad)
+        obs_state = jnp.concatenate([obstacles_pad, zeros, zeros], axis=-1)
+        gathered_o = jnp.take(obs_state, oi, axis=0)
+        rel_o = gathered_o - state_tile[:, None, :]
+        keep_o = (od <= cfg.dist_threshold_obs)[..., None]
+        obs_f = jnp.where(keep_o & jnp.isfinite(rel_o), rel_o, 0.0)
+
+        all_exact = lax.psum(exact.astype(jnp.int32), axis) == n_dev
+        return ped_f, obs_f, all_exact
+
+    ped_b, obs_b, exact = run(state, heading)
+    dest = jnp.where(jnp.isnan(destination - position), 0.0,
+                     destination - position)
+
+    def fallback():
+        p, o, _ = sharded_relative_features(
+            position, velocity, acceleration, destination, obstacles,
+            cfg, mesh, axis)
+        return p, o
+
+    ped_f, obs_f = lax.cond(exact, lambda: (ped_b, obs_b), fallback)
+    return ped_f, obs_f, dest
