@@ -177,6 +177,18 @@ class PIMLConfig:
                                        # steps; 1 at dense sizes).  Measured
                                        # at paper size: 14.4 -> 10.5 ms/step
                                        # (train_step_fusion.json)
+    channel_batched_bptt: Optional[bool] = None
+                                       # finetune rollout loop nesting:
+                                       # True = scan over time with the
+                                       # channel vmap inside each step
+                                       # (batched_rollout — hoists the
+                                       # banded selector's exactness cond
+                                       # above the channel axis, enabling
+                                       # the O(N) kernels in BPTT);
+                                       # False = vmap(scan) per channel
+                                       # (the paper-scale fusion-tuned
+                                       # path); None = auto (batched at
+                                       # dense N on TPU)
 
     def __post_init__(self):
         if not self.model_name_suffix:

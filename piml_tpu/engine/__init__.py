@@ -3,7 +3,9 @@ from piml_tpu.engine.rollout import (  # noqa: F401
     EngineState,
     SpawnFrame,
     StepOutputs,
+    batched_rollout,
     init_state,
+    make_features_fn,
     make_step,
     rollout,
     spawn_frames_from_scene,

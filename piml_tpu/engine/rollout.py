@@ -35,6 +35,7 @@ from piml_tpu.physics import (
     NeighborConfig,
     collision_detection_single_frame,
     collision_label,
+    heading_direction,
     relative_features,
 )
 
@@ -129,33 +130,21 @@ def select_waypoint(waypoints: jax.Array, dest_idx: jax.Array) -> jax.Array:
     )
 
 
-def make_step(
-    apply_fn: ForceFn,
+def make_features_fn(
     cfg: EngineConfig,
-    waypoints: jax.Array,      # (D, N, 2)
-    dest_num: jax.Array,       # (N,)
-    obstacles: jax.Array,      # (M, 2)
-    desired_speed: jax.Array,  # (N, 1)
-    stochastic: bool = False,
+    obstacles: jax.Array,
+    desired_speed: jax.Array,
     mesh=None,
     mesh_axis: str = "ap",
     obstacle_index=None,
 ):
-    """Build the scan step ``(params, state, xs) -> (state, outputs)``.
+    """Build the per-step feature rebuild ``(p, v, a, dest, hist_v, k1, k2)
+    -> (ped_f, obs_f, self_f)``.
 
-    ``stochastic=True``: xs is ``(spawn, rng)`` and the model forward draws
-    fresh dropout masks each frame — the reference finetunes under
-    ``model.train()``, so dropout is live inside the differentiable rollout
-    (simulators.py:295,659-832); ``apply_fn`` must then accept a trailing
-    rng argument.
-
-    ``cfg.shard_agents`` + ``mesh``: the per-step O(N²) feature rebuild runs
-    agent-sharded over ``mesh_axis`` via the ICI-ring streaming pass
-    (parallel/agent_shard.py) — per-device memory O(N²/D²), the supported
-    path for scenes past one chip's HBM."""
-
-    dt = cfg.time_unit
-    n_hist = None  # inferred from state at trace time
+    Handles rank-2 ``(N, 2)`` single-frame inputs (the scan step) and
+    rank-3 ``(C, N, 2)`` channel-batched inputs (:func:`batched_rollout`'s
+    hoisted feature pass — ``relative_features`` then routes the banded
+    selector with the exactness ``lax.cond`` ABOVE the channel axis)."""
 
     if cfg.shard_agents and mesh is None:
         raise ValueError("EngineConfig.shard_agents requires a mesh")
@@ -193,14 +182,61 @@ def make_step(
                 p, v, a, dest, obstacles, ncfg, mesh, axis=mesh_axis
             )
         else:
+            # explicit single-frame heading: with a rank-3 (C, N, 2) batch,
+            # relative_features' default heading would otherwise treat the
+            # CHANNEL axis as time and fill headings across channels
+            v0 = jnp.where(jnp.isnan(v), 0.0, v)
             ped_f, obs_f, dest_f = relative_features(
                 p, v, a, dest, obstacles, ncfg,
+                heading=heading_direction(v0, time_axis=False),
                 obstacle_index=obstacle_index,
             )
-        self_f = jnp.concatenate(
-            [dest_f, hist_v, a, desired_speed], axis=-1
-        )
+        ds = desired_speed
+        if p.ndim == 3 and ds.ndim == 2:
+            ds = jnp.broadcast_to(ds[None], p.shape[:1] + ds.shape)
+        self_f = jnp.concatenate([dest_f, hist_v, a, ds], axis=-1)
         return ped_f, obs_f, self_f
+
+    return features_for
+
+
+def make_step(
+    apply_fn: ForceFn,
+    cfg: EngineConfig,
+    waypoints: jax.Array,      # (D, N, 2)
+    dest_num: jax.Array,       # (N,)
+    obstacles: jax.Array,      # (M, 2)
+    desired_speed: jax.Array,  # (N, 1)
+    stochastic: bool = False,
+    mesh=None,
+    mesh_axis: str = "ap",
+    obstacle_index=None,
+    rebuild_features: bool = True,
+):
+    """Build the scan step ``(params, state, xs) -> (state, outputs)``.
+
+    ``stochastic=True``: xs is ``(spawn, rng)`` and the model forward draws
+    fresh dropout masks each frame — the reference finetunes under
+    ``model.train()``, so dropout is live inside the differentiable rollout
+    (simulators.py:295,659-832); ``apply_fn`` must then accept a trailing
+    rng argument.
+
+    ``cfg.shard_agents`` + ``mesh``: the per-step O(N²) feature rebuild runs
+    agent-sharded over ``mesh_axis`` (parallel/agent_shard.py) — the
+    supported path for scenes past one chip's HBM.
+
+    ``rebuild_features=False``: the step returns the carry with STALE model
+    inputs (``ped_f``/``obs_f``/``self_f`` unchanged) — used by
+    :func:`batched_rollout`, which rebuilds them for the whole channel
+    batch outside the vmap so the banded selector's exactness ``lax.cond``
+    stays a real branch."""
+
+    dt = cfg.time_unit
+
+    features_for = make_features_fn(
+        cfg, obstacles, desired_speed, mesh=mesh, mesh_axis=mesh_axis,
+        obstacle_index=obstacle_index,
+    )
 
     def step(params, state: EngineState, xs):
         spawn, rng = xs if stochastic else (xs, None)
@@ -262,10 +298,13 @@ def make_step(
         hist_v = jnp.where(new == 1, spawn.hist_v, hist_v)
 
         # ---- rebuild features ----------------------------------------------
-        ped_f, obs_f, self_f = features_for(
-            p_next, v_next, a_next, dest_next, hist_v,
-            state.ped_f.shape[-2], state.obs_f.shape[-2],
-        )
+        if rebuild_features:
+            ped_f, obs_f, self_f = features_for(
+                p_next, v_next, a_next, dest_next, hist_v,
+                state.ped_f.shape[-2], state.obs_f.shape[-2],
+            )
+        else:
+            ped_f, obs_f, self_f = state.ped_f, state.obs_f, state.self_f
 
         new_state = EngineState(
             p=p_next, v=v_next, a=a_next, dest=dest_next, dest_idx=dest_idx,
@@ -340,6 +379,76 @@ def rollout(
     return jax.lax.scan(body, state,
                         (spawns, step_rngs) if stochastic else spawns,
                         unroll=cfg.unroll)
+
+
+def batched_rollout(
+    params,
+    apply_fn: ForceFn,
+    cfg: EngineConfig,
+    state: EngineState,        # channel-batched: every leaf (C, ...)
+    spawns: SpawnFrame,        # channel-leading (C, T_roll, ...)
+    waypoints: jax.Array,      # (D, N, 2) shared across channels
+    dest_num: jax.Array,
+    obstacles: jax.Array,
+    desired_speed: jax.Array,  # (N, 1) shared
+    step_rngs: Optional[jax.Array] = None,   # (C, T_roll) key array
+) -> Tuple[EngineState, StepOutputs]:
+    """Channel-batched rollout: ``lax.scan`` over TIME with the channel
+    vmap INSIDE each step — output-equivalent to
+    ``jax.vmap(rollout)`` over channels (tested), but the per-step feature
+    rebuild runs once for the whole ``(C, N)`` batch, so the banded
+    cell-list selector's exactness decision is ONE real ``lax.cond`` per
+    frame instead of a per-channel cond that vmap would degrade to a
+    select (executing both the banded kernel AND its dense fallback).
+
+    This is what makes the O(N) neighbor kernels usable inside the
+    channeled BPTT finetune at dense N (the reference's training hot loop,
+    src/models/simulators.py:659-832, is a per-frame Python loop with a
+    dense O(N²) rebuild).  Outputs are returned channel-leading
+    ``(C, T, ...)`` to match the vmapped form.
+    """
+    stochastic = step_rngs is not None
+    from piml_tpu.physics.features import prepare_obstacle_index
+
+    ncfg_k = cfg.neighbor._replace(
+        topk_ped=state.ped_f.shape[-2],
+        topk_obs=state.obs_f.shape[-2],
+    )
+    obstacle_index = prepare_obstacle_index(
+        state.p.shape[-2], obstacles, ncfg_k)
+
+    # the inner step keeps stale features (rebuilt below for the batch) and
+    # no remat — the checkpoint wraps the WHOLE body incl. the feature pass
+    inner_cfg = dataclasses.replace(cfg, remat=False)
+    inner = make_step(apply_fn, inner_cfg, waypoints, dest_num, obstacles,
+                      desired_speed, stochastic=stochastic,
+                      obstacle_index=obstacle_index, rebuild_features=False)
+    features_for = make_features_fn(cfg, obstacles, desired_speed,
+                                    obstacle_index=obstacle_index)
+    k1 = state.ped_f.shape[-2]
+    k2 = state.obs_f.shape[-2]
+
+    def body(carry, xs):
+        new_state, outs = jax.vmap(
+            lambda s, x: inner(params, s, x))(carry, xs)
+        ped_f, obs_f, self_f = features_for(
+            new_state.p, new_state.v, new_state.a, new_state.dest,
+            new_state.hist_v, k1, k2,
+        )
+        new_state = new_state.replace(ped_f=ped_f, obs_f=obs_f,
+                                      self_f=self_f)
+        return new_state, outs
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+
+    # time-major xs for the scan
+    xs = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, 1), spawns)
+    if stochastic:
+        xs = (xs, jnp.moveaxis(step_rngs, 0, 1))
+    final, outs = jax.lax.scan(body, state, xs, unroll=cfg.unroll)
+    outs = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, 1), outs)
+    return final, outs
 
 
 def spawn_frames_from_scene(

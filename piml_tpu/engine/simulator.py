@@ -23,6 +23,7 @@ from piml_tpu.engine.rollout import (
     EngineConfig,
     EngineState,
     SpawnFrame,
+    batched_rollout,
     init_state,
     rollout,
     spawn_frames_from_scene,
@@ -251,13 +252,27 @@ def training_rollout_loss(
         ),
         remat=remat,
     )
-    # The rollout below is vmapped over channels: lax.cond degrades to
-    # select under vmap, which would execute BOTH the banded cell-list
-    # probe AND its dense fallback every frame — strictly slower than
-    # dense alone.  The banded path is an eval/rollout optimization; keep
-    # the training feature pass on the dense kernels.
-    ecfg = dataclasses.replace(
-        ecfg, neighbor=ecfg.neighbor._replace(use_grid_topk=False))
+    # Channel-batching strategy for the differentiable rollout:
+    # - Dense N on TPU: scan over TIME with the channel vmap inside each
+    #   step (batched_rollout) — the per-step feature rebuild runs once
+    #   for the whole (C, N) batch with the banded cell-list selector's
+    #   exactness decision hoisted to ONE real lax.cond per frame, so the
+    #   O(N) kernels are usable inside BPTT.
+    # - Paper scale: vmap(scan) per channel (the measured, fusion-tuned
+    #   path).  There a per-channel lax.cond would degrade to select
+    #   under vmap — executing BOTH the banded probe AND its dense
+    #   fallback — so the grid selector is disabled outright.
+    n_agents = batch.position.shape[2]
+    use_batched = cfg.channel_batched_bptt
+    if use_batched is None:
+        use_batched = (
+            ecfg.neighbor.use_grid_topk
+            and n_agents * n_agents >= 2 ** 21
+            and jax.default_backend() == "tpu"
+        )
+    if not use_batched:
+        ecfg = dataclasses.replace(
+            ecfg, neighbor=ecfg.neighbor._replace(use_grid_topk=False))
 
     def one_channel(p0, v0, a0, dest0, didx0, pf0, of0, sf0, spawns, rngs):
         state = init_state(p0, v0, a0, dest0, didx0, pf0, of0, sf0)
@@ -279,12 +294,26 @@ def training_rollout_loss(
     if rng is not None:
         step_rngs = jax.random.split(rng, C * T).reshape(C, T, -1)
 
-    outs = jax.vmap(one_channel)(
-        batch.position[:, 0], batch.velocity[:, 0], batch.acceleration[:, 0],
-        batch.destination[:, 0], batch.dest_idx[:, 0],
-        batch.ped_features[:, 0], batch.obs_features[:, 0],
-        batch.self_features[:, 0], spawns, step_rngs,
-    )  # StepOutputs with shapes (C, T, ...)
+    if use_batched:
+        states0 = jax.vmap(init_state)(
+            batch.position[:, 0], batch.velocity[:, 0],
+            batch.acceleration[:, 0], batch.destination[:, 0],
+            batch.dest_idx[:, 0], batch.ped_features[:, 0],
+            batch.obs_features[:, 0], batch.self_features[:, 0],
+        )
+        outs = batched_rollout(
+            params, apply_fn, ecfg, states0, spawns,
+            batch.waypoints, batch.dest_num, batch.obstacles,
+            batch.desired_speed[:, None], step_rngs=step_rngs,
+        )[1]
+    else:
+        outs = jax.vmap(one_channel)(
+            batch.position[:, 0], batch.velocity[:, 0],
+            batch.acceleration[:, 0],
+            batch.destination[:, 0], batch.dest_idx[:, 0],
+            batch.ped_features[:, 0], batch.obs_features[:, 0],
+            batch.self_features[:, 0], spawns, step_rngs,
+        )  # StepOutputs with shapes (C, T, ...)
 
     mask_pred = batch.mask_p_pred  # C, T, N
     # frames with no predictable agents record nothing (simulators.py:707)

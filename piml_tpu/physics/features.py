@@ -359,6 +359,21 @@ def relative_features(
     use_banded = (cfg.use_grid_topk and big_single_frame
                   and (jax.default_backend() == "tpu"
                        or not cfg.use_pallas_topk))
+    # Batched (rank-3, channel-leading) banded path with the exactness
+    # decision HOISTED above the channel axis: an explicitly-batched call
+    # (engine/rollout.py batched_rollout — the channeled BPTT feature
+    # pass) vmaps the banded selector over channels, AND-reduces the
+    # per-channel exactness flags, and takes ONE lax.cond for the whole
+    # batch.  Under an outer jax.vmap this function sees rank-2 tracers
+    # and a per-channel cond would degrade to select (both branches
+    # execute); callers must pass the channel axis explicitly to get
+    # real branching.
+    use_banded_batched = (
+        cfg.use_grid_topk
+        and position.ndim == 3
+        and position.shape[-2] * state_pad.shape[-2] >= 2 ** 21
+        and (jax.default_backend() == "tpu" or not cfg.use_pallas_topk)
+    )
 
     def _ped_dense():
         if use_pallas:
@@ -392,6 +407,22 @@ def relative_features(
             dist_threshold=cfg.dist_threshold_ped, grid_dim=g_p, window=w_p,
             index=ped_index, agent_order=agent_order,
         )
+    elif use_banded_batched:
+        from piml_tpu.ops.banded import banded_params, topk_neighbors_banded
+
+        n_rows = position.shape[-2]
+        g_p, w_p = banded_params(n_rows, n_rows, k_ped, fine=True)
+
+        def _one(p, h):
+            return topk_neighbors_banded(
+                p, h, k_ped, cfg.sight_angle_ped,
+                dist_threshold=cfg.dist_threshold_ped,
+                grid_dim=g_p, window=w_p,
+            )
+
+        bd, bi, bex = jax.vmap(_one)(position, heading)
+        ped_dist, ped_idx = lax.cond(jnp.all(bex), lambda: (bd, bi),
+                                     _ped_dense)
     else:
         ped_dist, ped_idx = _ped_dense()
     gathered = jnp.take_along_axis(
@@ -450,6 +481,28 @@ def relative_features(
             dist_threshold=cfg.dist_threshold_obs, grid_dim=g_o, window=w_o,
             index=o_index, agent_order=agent_order,
         )
+    elif (use_banded_batched
+          and position.shape[-2] * obstacles_pad.shape[0] >= 2 ** 21):
+        from piml_tpu.ops.banded import (banded_params, build_object_index,
+                                         topk_neighbors_banded)
+
+        g_o, w_o = banded_params(position.shape[-2], obstacles_pad.shape[0],
+                                 k_obs, fine=True)
+        # the obstacle table is shared across channels: one index, vmapped
+        # with in_axes None
+        o_index = (obstacle_index if obstacle_index is not None
+                   else build_object_index(obstacles_pad, g_o, w_o))
+
+        def _one_o(p, h):
+            return topk_neighbors_banded(
+                p, h, k_obs, cfg.sight_angle_obs, objects=obstacles_pad,
+                same_objects=False, grid_dim=g_o, window=w_o,
+                dist_threshold=cfg.dist_threshold_obs, index=o_index,
+            )
+
+        od, oi, oex = jax.vmap(_one_o)(position, heading)
+        obs_dist, obs_idx = lax.cond(jnp.all(oex), lambda: (od, oi),
+                                     _obs_dense)
     else:
         obs_dist, obs_idx = _obs_dense()
     zeros = jnp.zeros_like(obs)

@@ -200,3 +200,40 @@ def test_banded_fuzz_feature_equivalence(seed):
     assert ((d_s <= 4.0) == in_thr).all()
     assert (np.where(in_thr, d_s, 0) == np.where(in_thr, d_p, 0)).all()
     np.testing.assert_array_equal(i_s[in_thr], i_p[in_thr])
+
+
+def test_batched_hoisted_cond_matches_per_channel():
+    """Rank-3 (channel-leading) relative_features routes the banded
+    selector per channel with ONE exactness lax.cond hoisted above the
+    channel axis (engine/rollout.py batched_rollout's feature pass) —
+    on a well-spread scene (proof holds everywhere) it must be
+    BIT-identical to the rank-2 composed path called per channel, since
+    both sides then take the banded kernel.  (Comparison against the XLA
+    matmul-expansion dense pass is NOT bit-exact by design: that
+    expansion carries |p|²·eps_f32 cancellation noise at threshold
+    boundaries — see the fuzz test above, which masks for it.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from piml_tpu.physics.features import NeighborConfig, relative_features
+
+    key = jax.random.PRNGKey(5)
+    c, n, m = 2, 1536, 1400  # n*n and n*m_pad both >= 2^21: both passes engage
+    kp, kv, ko, km = jax.random.split(key, 4)
+    p = jax.random.uniform(kp, (c, n, 2), minval=0.0, maxval=100.0)
+    v = jax.random.normal(kv, (c, n, 2))
+    a = 0.1 * jax.random.normal(kv, (c, n, 2))
+    dest = jnp.full((c, n, 2), 50.0)
+    obstacles = jax.random.uniform(ko, (m, 2), minval=0.0, maxval=100.0)
+    absent = jax.random.uniform(km, (c, n)) < 0.1
+    p = jnp.where(absent[..., None], jnp.nan, p)
+
+    grid = NeighborConfig(use_pallas_topk=False, use_grid_topk=True)
+    got = relative_features(p, v, a, dest, obstacles, grid)
+    ref = [relative_features(p[i], v[i], a[i], dest[i], obstacles, grid)
+           for i in range(c)]
+    ref = [jnp.stack([r[j] for r in ref]) for j in range(3)]
+    for g, r, name in zip(got, ref, ["ped", "obs", "dest"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0, atol=0, err_msg=name)

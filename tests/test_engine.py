@@ -215,3 +215,100 @@ def test_bptt_unroll_and_remat_equivalence(toy_pipeline):
                         jax.tree_util.tree_leaves(base_g)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
+
+
+def test_batched_rollout_matches_vmapped(toy_pipeline):
+    """scan(vmap(step)) with the hoisted batch feature pass must equal
+    vmap(scan(step)) — same math, different loop nesting; this is what
+    lets the channeled BPTT use the banded O(N) selector (its exactness
+    lax.cond hoists above the channel axis instead of degrading to a
+    select per channel)."""
+    from piml_tpu.engine.rollout import batched_rollout
+
+    cfg, data, params, apply_fn = toy_pipeline
+    batch = to_channeled(data, stride=cfg.valid_steps).slice_channels(
+        np.arange(3)
+    )
+    ecfg = engine_config(cfg, retire=False, track_collisions=True,
+                         track_labels=False)
+
+    spawns = jax.vmap(
+        lambda p, v, a, d, di, sf, mp, mpp: spawn_frames_from_scene(
+            p, v, a, d, di, sf, mp, mpp, 0
+        )
+    )(batch.position, batch.velocity, batch.acceleration, batch.destination,
+      batch.dest_idx, batch.self_features, batch.mask_p, batch.mask_p_pred)
+    states0 = jax.vmap(init_state)(
+        batch.position[:, 0], batch.velocity[:, 0],
+        batch.acceleration[:, 0], batch.destination[:, 0],
+        batch.dest_idx[:, 0], batch.ped_features[:, 0],
+        batch.obs_features[:, 0], batch.self_features[:, 0],
+    )
+    args = (batch.waypoints, batch.dest_num, batch.obstacles,
+            batch.desired_speed[:, None])
+
+    def one_channel(s, sp):
+        return rollout(params, apply_fn, ecfg, s, sp, *args)[1]
+
+    ref = jax.vmap(one_channel)(states0, spawns)
+    got = batched_rollout(params, apply_fn, ecfg, states0, spawns, *args)[1]
+    for r, g, name in zip(ref, got, ref._fields):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-7, err_msg=name)
+
+
+def test_batched_rollout_grad_matches(toy_pipeline):
+    """Gradients through the batched form equal the vmapped form."""
+    import dataclasses as dc
+
+    from piml_tpu.engine.rollout import batched_rollout
+
+    cfg, data, params, apply_fn = toy_pipeline
+    batch = to_channeled(data, stride=cfg.valid_steps).slice_channels(
+        np.arange(2)
+    )
+    ecfg = engine_config(cfg, retire=False, track_collisions=False,
+                         track_labels=False)
+
+    spawns = jax.vmap(
+        lambda p, v, a, d, di, sf, mp, mpp: spawn_frames_from_scene(
+            p, v, a, d, di, sf, mp, mpp, 0
+        )
+    )(batch.position, batch.velocity, batch.acceleration, batch.destination,
+      batch.dest_idx, batch.self_features, batch.mask_p, batch.mask_p_pred)
+    states0 = jax.vmap(init_state)(
+        batch.position[:, 0], batch.velocity[:, 0],
+        batch.acceleration[:, 0], batch.destination[:, 0],
+        batch.dest_idx[:, 0], batch.ped_features[:, 0],
+        batch.obs_features[:, 0], batch.self_features[:, 0],
+    )
+    args = (batch.waypoints, batch.dest_num, batch.obstacles,
+            batch.desired_speed[:, None])
+    mask = (batch.mask_p_pred == 1)[..., None]
+
+    def loss_vmapped(p):
+        outs = jax.vmap(
+            lambda s, sp: rollout(p, apply_fn, ecfg, s, sp, *args)[1]
+        )(states0, spawns)
+        return jnp.sum(jnp.where(mask & jnp.isfinite(outs.p), outs.p, 0.0) ** 2)
+
+    def loss_batched(p):
+        outs = batched_rollout(p, apply_fn, ecfg, states0, spawns, *args)[1]
+        return jnp.sum(jnp.where(mask & jnp.isfinite(outs.p), outs.p, 0.0) ** 2)
+
+    # remat on in the batched form must also agree
+    l0, g0 = jax.value_and_grad(loss_vmapped)(params)
+    for remat in (False, True):
+        e2 = dc.replace(ecfg, remat=remat)
+
+        def lb(p, e2=e2):
+            outs = batched_rollout(p, apply_fn, e2, states0, spawns, *args)[1]
+            return jnp.sum(
+                jnp.where(mask & jnp.isfinite(outs.p), outs.p, 0.0) ** 2)
+
+        l1, g1 = jax.value_and_grad(lb)(params)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
