@@ -137,6 +137,7 @@ def make_features_fn(
     mesh=None,
     mesh_axis: str = "ap",
     obstacle_index=None,
+    batched: bool = False,
 ):
     """Build the per-step feature rebuild ``(p, v, a, dest, hist_v, k1, k2)
     -> (ped_f, obs_f, self_f)``.
@@ -189,7 +190,7 @@ def make_features_fn(
             ped_f, obs_f, dest_f = relative_features(
                 p, v, a, dest, obstacles, ncfg,
                 heading=heading_direction(v0, time_axis=False),
-                obstacle_index=obstacle_index,
+                obstacle_index=obstacle_index, batched=batched,
             )
         ds = desired_speed
         if p.ndim == 3 and ds.ndim == 2:
@@ -424,7 +425,8 @@ def batched_rollout(
                       desired_speed, stochastic=stochastic,
                       obstacle_index=obstacle_index, rebuild_features=False)
     features_for = make_features_fn(cfg, obstacles, desired_speed,
-                                    obstacle_index=obstacle_index)
+                                    obstacle_index=obstacle_index,
+                                    batched=True)
     k1 = state.ped_f.shape[-2]
     k2 = state.obs_f.shape[-2]
 

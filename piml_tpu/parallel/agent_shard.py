@@ -154,6 +154,7 @@ def sharded_relative_features(
     cfg: NeighborConfig,
     mesh: Mesh,
     axis: str = "ap",
+    include_obstacles: bool = True,
 ):
     """Single-frame relative features with the agent axis sharded over the
     mesh — output-equivalent to ``physics.features.relative_features`` on one
@@ -162,6 +163,10 @@ def sharded_relative_features(
     Inputs (N, 2) NaN-masked; obstacles (M, 2) replicated (obstacle tables
     are small; only the agent-agent pass is the N² problem).
     Returns (ped_features (N, k1, 6), obs_features (N, k2, 6), dest (N, 2)).
+
+    ``include_obstacles=False`` skips the obstacle pass (obs_features is
+    None) — used by :func:`sharded_banded_features`'s exactness fallback,
+    whose own shard-local obstacle pass is identical and already computed.
     """
     velocity = jnp.where(jnp.isnan(velocity), 0.0, velocity)
     acceleration = jnp.where(jnp.isnan(acceleration), 0.0, acceleration)
@@ -198,7 +203,8 @@ def sharded_relative_features(
         keep_o = (od <= cfg.dist_threshold_obs)[..., None]
         return jnp.where(keep_o & jnp.isfinite(rel_o), rel_o, 0.0)
 
-    obs_features = obs_pass(position, heading, state)
+    obs_features = (obs_pass(position, heading, state)
+                    if include_obstacles else None)
     return ped_features, obs_features, dest
 
 
@@ -309,11 +315,14 @@ def sharded_banded_features(
     dest = jnp.where(jnp.isnan(destination - position), 0.0,
                      destination - position)
 
+    # the obstacle pass is shard-local dense and identical in both branches
+    # (run() above already computed it) — only the ped pass is under the
+    # exactness cond, so a fallback frame never pays the obstacle work twice
     def fallback():
-        p, o, _ = sharded_relative_features(
+        p, _, _ = sharded_relative_features(
             position, velocity, acceleration, destination, obstacles,
-            cfg, mesh, axis)
-        return p, o
+            cfg, mesh, axis, include_obstacles=False)
+        return p
 
-    ped_f, obs_f = lax.cond(exact, lambda: (ped_b, obs_b), fallback)
-    return ped_f, obs_f, dest
+    ped_f = lax.cond(exact, lambda: ped_b, fallback)
+    return ped_f, obs_b, dest

@@ -298,6 +298,21 @@ def prepare_obstacle_index(n_agents: int, obstacles: jax.Array,
     return build_object_index(obstacles_pad, g_o, w_o)
 
 
+def _check_obstacle_index(obstacle_index, obstacles_pad, g_o: int, w_o: int):
+    """A prebuilt index encodes its (grid_dim, window) in its shapes; a
+    mismatch would silently corrupt the in-kernel cell masks, so fail fast
+    with an actionable message before the (possibly vmapped) kernel call."""
+    if obstacle_index is None:
+        return
+    m_band = -(-max(obstacles_pad.shape[0], 128) // 128) * 128 + w_o
+    if (obstacle_index.offsets.shape[0] != g_o * g_o + 2
+            or obstacle_index.cols.shape[1] != m_band):
+        raise ValueError(
+            "obstacle_index was built with different banded params; "
+            "build it via prepare_obstacle_index with the same "
+            "NeighborConfig and agent count")
+
+
 def relative_features(
     position: jax.Array,
     velocity: jax.Array,
@@ -307,6 +322,7 @@ def relative_features(
     cfg: NeighborConfig,
     heading: Optional[jax.Array] = None,
     obstacle_index=None,
+    batched: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pairwise neighbor / obstacle / destination features for model input.
 
@@ -316,6 +332,12 @@ def relative_features(
       heading: optional precomputed (..., t, N, 2) heading (skips the fill)
       obstacle_index: optional prebuilt :func:`prepare_obstacle_index`
         result (static obstacle tables: hoists the per-frame cell sort)
+      batched: explicit opt-in for the rank-3 channel-batched banded path
+        (one hoisted exactness cond for the whole batch).  Only the
+        channeled-BPTT caller (engine/rollout.py batched_rollout) sets
+        this; time-major (t, N, 2) preprocessing callers keep the dense
+        kernels so cached dataset features never depend on the banded
+        kernel's threshold-boundary f32 rounding.
 
     Returns:
       ped_features: (..., t, N, k1, 6) — relative p, v, a of k1 nearest in-FOV
@@ -369,7 +391,8 @@ def relative_features(
     # execute); callers must pass the channel axis explicitly to get
     # real branching.
     use_banded_batched = (
-        cfg.use_grid_topk
+        batched
+        and cfg.use_grid_topk
         and position.ndim == 3
         and position.shape[-2] * state_pad.shape[-2] >= 2 ** 21
         and (jax.default_backend() == "tpu" or not cfg.use_pallas_topk)
@@ -463,16 +486,7 @@ def relative_features(
 
         g_o, w_o = banded_params(position.shape[0], obstacles_pad.shape[0],
                                  k_obs, fine=True)
-        if obstacle_index is not None:
-            # a prebuilt index encodes its (grid_dim, window) in its shapes;
-            # a mismatch would silently corrupt the in-kernel cell masks
-            m_band = -(-max(obstacles_pad.shape[0], 128) // 128) * 128 + w_o
-            if (obstacle_index.offsets.shape[0] != g_o * g_o + 2
-                    or obstacle_index.cols.shape[1] != m_band):
-                raise ValueError(
-                    "obstacle_index was built with different banded params; "
-                    "build it via prepare_obstacle_index with the same "
-                    "NeighborConfig and agent count")
+        _check_obstacle_index(obstacle_index, obstacles_pad, g_o, w_o)
         o_index = (obstacle_index if obstacle_index is not None
                    else build_object_index(obstacles_pad, g_o, w_o))
         obs_dist, obs_idx = topk_neighbors_banded_or_dense(
@@ -488,6 +502,7 @@ def relative_features(
 
         g_o, w_o = banded_params(position.shape[-2], obstacles_pad.shape[0],
                                  k_obs, fine=True)
+        _check_obstacle_index(obstacle_index, obstacles_pad, g_o, w_o)
         # the obstacle table is shared across channels: one index, vmapped
         # with in_axes None
         o_index = (obstacle_index if obstacle_index is not None

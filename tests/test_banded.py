@@ -230,10 +230,59 @@ def test_batched_hoisted_cond_matches_per_channel():
     p = jnp.where(absent[..., None], jnp.nan, p)
 
     grid = NeighborConfig(use_pallas_topk=False, use_grid_topk=True)
-    got = relative_features(p, v, a, dest, obstacles, grid)
+    got = relative_features(p, v, a, dest, obstacles, grid, batched=True)
     ref = [relative_features(p[i], v[i], a[i], dest[i], obstacles, grid)
            for i in range(c)]
     ref = [jnp.stack([r[j] for r in ref]) for j in range(3)]
     for g, r, name in zip(got, ref, ["ped", "obs", "dest"]):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0, atol=0, err_msg=name)
+
+
+def test_batched_banded_grad_matches_per_channel():
+    """AD through the hoisted lax.cond + sequential_vmap'd banded kernel
+    (the channeled-BPTT feature path) must produce finite gradients that
+    BIT-match the rank-2 banded path's — the kernel's selections are
+    stop_gradient'ed, so once the forward selections agree (test above),
+    the gather-and-subtract cotangents must agree too.  Guards the AD
+    regression VERDICT r3 / ADVICE flagged as invisible to CI (the only
+    batched test was forward-only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from piml_tpu.physics.features import NeighborConfig, relative_features
+
+    key = jax.random.PRNGKey(5)
+    c, n, m = 2, 1536, 1400  # crosses the 2^21 engagement gate
+    kp, kv, ko, km = jax.random.split(key, 4)
+    p = jax.random.uniform(kp, (c, n, 2), minval=0.0, maxval=100.0)
+    v = jax.random.normal(kv, (c, n, 2))
+    a = 0.1 * jax.random.normal(kv, (c, n, 2))
+    dest = jnp.full((c, n, 2), 50.0)
+    obstacles = jax.random.uniform(ko, (m, 2), minval=0.0, maxval=100.0)
+    absent = jax.random.uniform(km, (c, n)) < 0.1
+    p = jnp.where(absent[..., None], jnp.nan, p)
+
+    grid = NeighborConfig(use_pallas_topk=False, use_grid_topk=True)
+
+    def loss_batched(v_, a_):
+        pf, of, df = relative_features(p, v_, a_, dest, obstacles, grid,
+                                       batched=True)
+        return jnp.sum(pf ** 2) + jnp.sum(of ** 2) + jnp.sum(df ** 2)
+
+    def loss_per_channel(v_, a_):
+        tot = 0.0
+        for i in range(c):
+            pf, of, df = relative_features(p[i], v_[i], a_[i], dest[i],
+                                           obstacles, grid)
+            tot = tot + jnp.sum(pf ** 2) + jnp.sum(of ** 2) + jnp.sum(df ** 2)
+        return tot
+
+    lb, gb = jax.value_and_grad(loss_batched, argnums=(0, 1))(v, a)
+    lr, gr = jax.value_and_grad(loss_per_channel, argnums=(0, 1))(v, a)
+    np.testing.assert_allclose(float(lb), float(lr), rtol=1e-6)
+    for b_, r_, name in zip(gb, gr, ["dv", "da"]):
+        assert np.isfinite(np.asarray(b_)).all(), name
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(r_),
                                    rtol=0, atol=0, err_msg=name)
