@@ -42,6 +42,9 @@ class PIMLConfig:
     save_configs: bool = False
     save_dir: str = "saved_model"      # checkpoints root
     config_dir: str = "saved_configs"
+    jsonl_log: str = ""                # metrics JSONL path; '' = per-run
+                                       # metrics_<suffix>.jsonl (lets grid
+                                       # sweeps append to one shared log)
 
     # ----- data -----
     data_config: str = "configs/data_configs/toy.yaml"

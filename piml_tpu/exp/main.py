@@ -117,7 +117,8 @@ def collision_eval(cfg: PIMLConfig, vis_config: str,
 
 def main(argv=None):
     cfg = PIMLConfig.from_cli(argv)
-    logger = MetricLogger(jsonl_path=f"metrics_{cfg.model_name_suffix}.jsonl")
+    logger = MetricLogger(
+        jsonl_path=cfg.jsonl_log or f"metrics_{cfg.model_name_suffix}.jsonl")
     run(cfg, logger)
 
 

@@ -188,3 +188,41 @@ def test_cli_tristate_and_set_coercion():
     assert PIMLConfig.coerce_field(fields["shuffle"], "yes") is True
     assert PIMLConfig.coerce_field(fields["collision_loss_weight"], "200") == 200.0
     assert PIMLConfig.coerce_field(fields["model"], "pinnsf_bm") == "pinnsf_bm"
+
+
+def test_transcribed_grid_configs_current_and_parseable():
+    """The shipped exp_configs must (a) be exactly what
+    tools/transcribe_exp_configs.py derives from the reference grids (no
+    silent drift) and (b) expand via yaml_to_grid_params into commands
+    whose every flag PIMLConfig.from_cli accepts with the intended value."""
+    import shlex
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import transcribe_exp_configs as tx
+
+    names = sorted(n for n in os.listdir(tx.REF_DIR) if n.endswith(".yaml"))
+    assert len(names) >= 25
+    for name in names:
+        expected = tx.transcribe_one(os.path.join(tx.REF_DIR, name))
+        with open(os.path.join(tx.OUT_DIR, name)) as f:
+            assert f.read() == expected, f"{name} drifted; re-run the tool"
+
+    # every transcribed grid (+ the hand-written front-door configs) must
+    # produce CLI commands the config surface fully understands
+    extra = ["piml-ucy.yaml", "piml-gc-calibrated.yaml",
+             "piml-ucy-calibrated.yaml", "piml-gc.yaml", "toy-smoke.yaml"]
+    for name in names + extra:
+        cmds = yaml_to_grid_params(os.path.join(tx.OUT_DIR, name))
+        assert cmds
+        for cmd in cmds[:2]:  # first points of the sweep are representative
+            argv = shlex.split(cmd)[3:]  # strip "python -m piml_tpu.exp.main"
+            cfg = PIMLConfig.from_cli(argv)
+            # spot-check a mapped alias landed
+            flags = dict(zip(argv[0::2], argv[1::2]))
+            if "--ft_batch_size" in flags:
+                assert cfg.ft_batch_size == int(flags["--ft_batch_size"])
+            if "--data_config" in flags:
+                assert os.path.exists(flags["--data_config"]), name
+            if "--ft_data_config" in flags:
+                assert os.path.exists(flags["--ft_data_config"]), name
