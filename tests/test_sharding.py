@@ -19,7 +19,11 @@ def eight_devices():
     return jax.devices()[:8]
 
 
+@pytest.mark.slow
 def test_graft_dryrun(eight_devices):
+    """In-process dryrun (slow variant — the default path covers the same
+    program via test_multichip_entry.py's fresh-interpreter invocation,
+    which is the shape the driver actually uses)."""
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
@@ -120,6 +124,30 @@ def test_agent_axis_ring_features_match_single_device():
                                atol=1e-5)
 
 
+def test_ragged_channel_padding_loss_neutral(eight_devices):
+    """Cheap default-path half of the DP soak: padding a ragged channel
+    batch (12 % 8 != 0) to the mesh size must not change the training
+    rollout loss (the inert-channel contract shard_channeled_batch relies
+    on).  The multi-step DP trajectory equality is the slow variant."""
+    import __graft_entry__ as g
+    from piml_tpu.engine import training_rollout_loss
+    from piml_tpu.models import ModelSpec, build_finetune_model
+    from piml_tpu.parallel.sharding import pad_channels
+
+    cfg = g._tiny_cfg().replace(ft_batch_size=12)
+    key = jax.random.PRNGKey(3)
+    batch = g._tiny_batchdata(cfg, key)
+    model = build_finetune_model(ModelSpec.from_config(cfg))
+    params = model.init(key, batch.ped_features[0, 0],
+                        batch.obs_features[0, 0], batch.self_features[0, 0])
+    apply_fn = lambda p, pf, of, sf: model.apply(p, pf, of, sf)
+    l_raw = float(training_rollout_loss(params, apply_fn, cfg, batch).loss)
+    l_pad = float(training_rollout_loss(
+        params, apply_fn, cfg, pad_channels(batch, 8)).loss)
+    assert l_pad == pytest.approx(l_raw, rel=1e-6)
+
+
+@pytest.mark.slow
 def test_dp_soak_multi_epoch_ragged_channels(eight_devices):
     """Multi-step DP finetune convergence vs single device (VERDICT r2
     item 6): identical loss trajectory within fp tolerance over several

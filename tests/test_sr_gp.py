@@ -92,9 +92,9 @@ def test_deterministic_under_seed():
 @pytest.mark.skipif(HAVE_PYSR, reason="PySR present: wrapper uses PySR")
 def test_symbolic_regression_wrapper_uses_gp():
     rng = np.random.default_rng(5)
-    x = rng.uniform(0.1, 2.0, size=600)
+    x = rng.uniform(0.1, 2.0, size=300)
     y = 4.0 * np.exp(-2.0 * x)
-    model = symbolic_regression(x[:, None], y, niterations=8, populations=4,
+    model = symbolic_regression(x[:, None], y, niterations=6, populations=4,
                                 seed=1)
     assert isinstance(model, GPSymbolicRegressor)
     assert model.best().loss < 1e-2

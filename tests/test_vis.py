@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 from piml_tpu.scene import Scene
-from piml_tpu.utils.vis import _actors, _update, state_animation_compare
+from piml_tpu.utils.vis import (_actors, _update, state_animation,
+                                state_animation_compare)
 
 
 def test_animation_frames_render(toy_path):
@@ -33,25 +34,41 @@ def test_compare_animation_builds(toy_path):
     plt.close(fig)
 
 
-def test_animation_export_gif(tmp_path):
-    """Movie export smoke test: ffmpeg is absent in this container, so the
-    Pillow writer exports a GIF (same FuncAnimation.save path as the
-    reference's mp4 export, visualization.py:90-95)."""
-    import matplotlib
+def _time_slice(scene, t):
+    """First ``t`` frames of a scene (time-leading fields only)."""
+    return scene.replace(
+        position=scene.position[:t], velocity=scene.velocity[:t],
+        acceleration=scene.acceleration[:t], destination=scene.destination[:t],
+        dest_idx=scene.dest_idx[:t], mask_p=scene.mask_p[:t],
+        mask_v=scene.mask_v[:t], mask_a=scene.mask_a[:t],
+    )
 
-    matplotlib.use("Agg")
-    from matplotlib import animation, pyplot as plt
 
-    from piml_tpu.scene import Scene
-    from piml_tpu.utils.vis import state_animation
+def _export_gif(scene, out):
+    from matplotlib import animation
 
-    scene = Scene.load("/root/reference/data/GC_Dataset/GC_Dataset_toy1.npy")
     fig, ax = plt.subplots()
-    out = tmp_path / "toy.gif"
     state_animation(ax, scene, movie_file=str(out),
                     writer=animation.PillowWriter(fps=5))
     plt.close(fig)
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_animation_export_gif(tmp_path):
+    """Movie export smoke test: ffmpeg is absent in this container, so the
+    Pillow writer exports a GIF (same FuncAnimation.save path as the
+    reference's mp4 export, visualization.py:90-95).  Default path renders
+    a 20-frame slice; the full 750-frame export is the slow variant."""
+    scene = _time_slice(
+        Scene.load("/root/reference/data/GC_Dataset/GC_Dataset_toy1.npy"), 20)
+    _export_gif(scene, tmp_path / "toy.gif")
+
+
+@pytest.mark.slow
+def test_animation_export_gif_full(tmp_path):
+    """Full-length GC toy export (226 s): opt-in via -m slow."""
+    scene = Scene.load("/root/reference/data/GC_Dataset/GC_Dataset_toy1.npy")
+    _export_gif(scene, tmp_path / "toy_full.gif")
 
 
 def test_animation_html_and_mp4_fallback(tmp_path, toy_path):
