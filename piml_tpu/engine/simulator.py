@@ -113,6 +113,24 @@ def eval_rollout(
     )
 
 
+@partial(jax.jit, static_argnames=("t_start",))
+def _scene_eval_scalars(data: TimeIndexedData, position: jax.Array,
+                        mask_p: jax.Array, t_start: int, coll_thr):
+    """Fused per-scene eval scalars: collision sweeps (XLA fuses the
+    (t, N, N) contact reductions — nothing is materialized), arrival
+    post-processing, masked MSE, and the row/frame denominators — one
+    dispatch, one host sync."""
+    coll = collision_count(position[t_start:], coll_thr)
+    hard = collision_count(position[t_start:], coll_thr / 2)
+    p_post = post_process(data, position, mask_p, data.mask_p_pred)
+    labels = data.labels[..., :2]
+    m = (data.mask_p_pred == 1)[..., None]
+    mse = jnp.sum(jnp.where(m, (p_post - labels) ** 2, 0.0))
+    rows = jnp.sum(data.mask_p_pred == 1)
+    frames = jnp.sum(jnp.sum(data.mask_p_pred, axis=-1) > 0)
+    return coll, hard, mse, p_post, rows, frames
+
+
 def post_process(data: TimeIndexedData, pred_pos: jax.Array,
                  pred_mask_p: jax.Array, mask_p: jax.Array) -> jax.Array:
     """Clamp agents that arrived early in the prediction to their final
@@ -161,18 +179,20 @@ def evaluate_rollouts(
             data = pad_agents(data, mesh.shape[mesh_axis])
         res = eval_rollout(params, apply_fn, ecfg, data, cfg.skip_frames,
                            mesh=mesh, mesh_axis=mesh_axis)
-        p_pred = res.position
-        mask_pred = data.mask_p_pred
-
-        coll = float(collision_count(p_pred[cfg.skip_frames:], cfg.collision_threshold))
-        hard = float(collision_count(p_pred[cfg.skip_frames:], cfg.collision_threshold / 2))
+        # one fused program for the per-scene scalar metrics: the two
+        # collision sweeps would otherwise run EAGERLY, materializing
+        # (t, N, N) contact tensors op-by-op — at the paper validation
+        # shape that alone dominated the finetune epoch (VERDICT r3
+        # item 2; epoch_breakdown.json)
+        coll, hard, mse, p_post, rows, frames = _scene_eval_scalars(
+            data, res.position, res.mask_p, cfg.skip_frames,
+            cfg.collision_threshold)
+        coll, hard, mse = float(coll), float(hard), float(mse)
         coll_sum += coll
         hard_sum += hard
 
-        p_post = post_process(data, p_pred, res.mask_p, mask_pred)
+        mask_pred = data.mask_p_pred
         labels = data.labels[..., :2]
-        m = (mask_pred == 1)[..., None]
-        mse = float(jnp.sum(jnp.where(m, (p_post - labels) ** 2, 0.0)))
         loss = mse
         if not test_flag:
             loss = loss + cfg.val_coll_weight * (coll + hard)
@@ -180,8 +200,8 @@ def evaluate_rollouts(
             mae_sum += float(mae_with_time_mask(p_post, labels, mask_pred, "sum"))
             ot_sum += float(ot_with_time_mask(p_post, labels, mask_pred, "sum"))
             mmd_sum += float(mmd_with_time_mask(p_post, labels, mask_pred, "sum"))
-        n_rows += int(jnp.sum(mask_pred == 1))
-        n_frames += int(jnp.sum(jnp.sum(mask_pred, axis=-1) > 0))
+        n_rows += int(rows)
+        n_frames += int(frames)
         loss_sum += loss
         mse_sum += mse
 

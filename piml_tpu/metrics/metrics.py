@@ -115,10 +115,13 @@ def sinkhorn_masked_chunked(
     reference's ε/thresh settings genuinely run all 100 capped iterations
     on crowd data, and each iteration is ~3.2 G VPU lane-ops (exp-heavy
     logsumexps both directions), i.e. the loop sits AT the VPU ceiling for
-    the reference's algorithm.  Computing the cost tile via the
-    |x|²+|y|²−2xy matmul identity was measured ~2× SLOWER (a d=2
-    contraction pads to 128 on the MXU), so the direct VPU differencing
-    stays."""
+    the reference's algorithm ON THE FULL pair set.  Computing the cost
+    tile via the |x|²+|y|²−2xy matmul identity was measured ~2× SLOWER (a
+    d=2 contraction pads to 128 on the MXU), so the direct VPU
+    differencing stays.  This kernel is now the FALLBACK: the default
+    dense-N driver runs the identical iteration on the banded candidate
+    structure (metrics/ot_banded.py — ~12× fewer pair terms, per-iteration
+    exactness proof) and conds back here when the proof fails."""
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     y = jnp.where(jnp.isfinite(y), y, 0.0)
     pad_x = -x.shape[0] % block
@@ -140,7 +143,11 @@ def sinkhorn_masked_chunked(
     lse = jax.scipy.special.logsumexp
 
     def m_tile(xi, mxi, ui, yj, myj, vj):
-        c = jnp.sum((xi[:, None, :] - yj[None, :, :]) ** 2, axis=-1)
+        # componentwise distances (see kernel_tile in mmd_masked_chunked:
+        # a trailing size-2 axis wastes the TPU lane dimension)
+        dx = xi[:, 0][:, None] - yj[:, 0][None, :]
+        dy = xi[:, 1][:, None] - yj[:, 1][None, :]
+        c = dx * dx + dy * dy
         m = (-c + ui[:, None] + vj[None, :]) / eps
         return jnp.where((mxi[:, None] * myj[None, :]) == 1, m, neg_big), c
 
@@ -197,8 +204,12 @@ def ot_with_time_mask(p: jax.Array, q: jax.Array, mask: jax.Array,
     """
     m = (mask == 1).astype(p.dtype)
     if p.shape[-2] > dense_limit:
+        # banded candidate structure with per-iteration exactness proof;
+        # falls back to the streaming dense kernel per frame (ot_banded.py)
+        from piml_tpu.metrics.ot_banded import sinkhorn_banded_or_dense
+
         per_frame = jax.lax.map(
-            lambda a: sinkhorn_masked_chunked(a[0], a[1], a[2], a[2]),
+            lambda a: sinkhorn_banded_or_dense(a[0], a[1], a[2], a[2]),
             (p, q, m),
         )
     else:
@@ -256,17 +267,37 @@ def mmd_masked_chunked(source: jax.Array, target: jax.Array,
                        mask_s: jax.Array, mask_t: jax.Array,
                        kernel_mul: float = 2.0, kernel_num: int = 5,
                        block: int = 4096) -> jax.Array:
-    """Streaming twin of :func:`mmd_masked`: two tiled passes over the
-    (2N, 2N) pair space — pass 1 accumulates the masked distance sum for the
-    shared bandwidth, pass 2 accumulates per-quadrant kernel sums via
-    source/target indicator weights — so the kernel matrix is never
-    materialized and N = 12,685 fits comfortably (tiles are (block, 2N))."""
+    """Streaming twin of :func:`mmd_masked` — the kernel matrix is never
+    materialized, so N = 12,685 fits comfortably (tiles are (block, 2N)).
+
+    Two dense-N optimizations over the naive two-pass form (round 4), both
+    value-preserving to fp rounding:
+
+    * the shared bandwidth needs only the masked pairwise-distance SUM,
+      which has the closed form ``Σ_ij m_i m_j |t_i - t_j|² =
+      2[(Σm)(Σ m|t̃|²) - |Σ m t̃|²]`` on mean-centered points t̃ (pairwise
+      distances are translation-invariant; centering kills the
+      cancellation term), so the O(N²) bandwidth pass becomes O(N);
+    * ``kernel_mul = 2`` makes the multi-scale kernels exact powers of one
+      another: with E = exp(-d/(bw·mul^{num-1})) the k-th scale is
+      E^{2^k}, so the 5-exp kernel sum is ONE exp + 4 squarings (the VPU
+      transcendental is the dominant per-entry cost).
+    """
     source = jnp.where(jnp.isfinite(source), source, 0.0)
     target = jnp.where(jnp.isfinite(target), target, 0.0)
     total = jnp.concatenate([source, target], axis=0)
     mask = jnp.concatenate([mask_s, mask_t], axis=0)
     is_s = jnp.concatenate([mask_s, jnp.zeros_like(mask_t)], axis=0)
     is_t = jnp.concatenate([jnp.zeros_like(mask_s), mask_t], axis=0)
+
+    n_samples = jnp.maximum(jnp.sum(mask), 2.0)
+    center = jnp.sum(total * mask[:, None], axis=0) / n_samples
+    tc = (total - center) * mask[:, None]
+    sq = jnp.sum(tc ** 2)
+    l2_sum = 2.0 * (n_samples * sq - jnp.sum(jnp.sum(tc, axis=0) ** 2))
+    bandwidth = l2_sum / (n_samples ** 2 - n_samples)
+    bandwidth = bandwidth / (kernel_mul ** (kernel_num // 2))
+    bandwidth = jnp.maximum(bandwidth, 1e-12)
 
     pad = -total.shape[0] % block
     total_p = jnp.pad(total, ((0, pad), (0, 0)))
@@ -278,28 +309,40 @@ def mmd_masked_chunked(source: jax.Array, target: jax.Array,
     r_is_s = is_s_p.reshape(-1, block)
     r_is_t = is_t_p.reshape(-1, block)
 
-    def l2_tile(a):
-        d = jnp.sum((a[0][:, None, :] - total[None, :, :]) ** 2, axis=-1)
-        return jnp.sum(d * (a[1][:, None] * mask[None, :]))
+    # power-of-two scale ratios: one exp, the rest are squarings
+    mul_is_pow2 = float(kernel_mul) == 2.0
 
-    l2_sum = jnp.sum(jax.lax.map(l2_tile, (rows, rmask)))
-    n_samples = jnp.maximum(jnp.sum(mask), 2.0)
-    bandwidth = l2_sum / (n_samples ** 2 - n_samples)
-    bandwidth = bandwidth / (kernel_mul ** (kernel_num // 2))
-    bandwidth = jnp.maximum(bandwidth, 1e-12)
+    tot_x = total[:, 0]
+    tot_y = total[:, 1]
 
     def kernel_tile(a):
         row, mrow, ss, tt = a
-        d = jnp.sum((row[:, None, :] - total[None, :, :]) ** 2, axis=-1)
+        # componentwise distances: a (block, 2N, 2) intermediate would put
+        # the size-2 coordinate axis in the 128-lane minor dim (a ~64×
+        # padding waste on TPU); two (block, 2N) planes stay dense
+        dx = row[:, 0][:, None] - tot_x[None, :]
+        dy = row[:, 1][:, None] - tot_y[None, :]
+        d = dx * dx + dy * dy
         d = d * (mrow[:, None] * mask[None, :])
-        k = jnp.zeros_like(d)
-        for i in range(kernel_num):
-            k = k + jnp.exp(-d / (bandwidth * kernel_mul ** i))
+        if mul_is_pow2:
+            e = jnp.exp(-d / (bandwidth * kernel_mul ** (kernel_num - 1)))
+            k = e
+            for _ in range(kernel_num - 1):
+                e = e * e
+                k = k + e
+        else:
+            k = jnp.zeros_like(d)
+            for i in range(kernel_num):
+                k = k + jnp.exp(-d / (bandwidth * kernel_mul ** i))
         k = k * (mrow[:, None] * mask[None, :])
-        xx = jnp.sum(k * (ss[:, None] * is_s[None, :]))
-        yy = jnp.sum(k * (tt[:, None] * is_t[None, :]))
-        xy = jnp.sum(k * (ss[:, None] * is_t[None, :]))
-        yx = jnp.sum(k * (tt[:, None] * is_s[None, :]))
+        # quadrant sums as two matvecs + weighted row reductions (2 MACs
+        # per entry instead of 4 indicator products + 4 full-matrix sums)
+        ks = k @ is_s                                  # (block,)
+        kt = k @ is_t
+        xx = jnp.sum(ss * ks)
+        yy = jnp.sum(tt * kt)
+        xy = jnp.sum(ss * kt)
+        yx = jnp.sum(tt * ks)
         return jnp.stack([xx, yy, xy, yx])
 
     quad = jnp.sum(jax.lax.map(kernel_tile, (rows, rmask, r_is_s, r_is_t)),

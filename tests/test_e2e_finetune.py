@@ -15,7 +15,9 @@ from piml_tpu.data import (
 from piml_tpu.train import Trainer, checkpoint_path
 from piml_tpu.utils import MetricLogger
 
-pytestmark = pytest.mark.slow
+# (previously file-wide slow-marked when the marker was decorative; with
+# addopts excluding slow these ~35 s of toy-scale e2e coverage belong in
+# the default path)
 
 
 def _write_cfg(tmp_path, toy_paths, name="data.yaml", test_split=True):
