@@ -217,7 +217,7 @@ V5E_PEAK_BF16 = 197e12  # one v5e chip, bf16 MXU peak FLOP/s
 
 
 def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
-                     dtype="float32", steps=10):
+                     dtype="float32", steps=10, batched=None):
     """One finetune BPTT step (reference hot loop simulators.py:659-832) at
     paper hyperparameters: ``batch_windows``-channel batch x 10-frame
     differentiable rollout on the shipped GC scene, full loss stack, grads,
@@ -247,6 +247,7 @@ def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
         collision_focus_weight=1.0, hard_collision_penalty=2.0,
         time_decay=0.9, reg_weight=1e-2, collision_loss_version="v2",
         remat_features=remat, bptt_unroll=unroll, compute_dtype=dtype,
+        channel_batched_bptt=batched,
     )
     scene = Scene.load(GC_SCENE)
     data = make_time_indexed(cfg, scene)

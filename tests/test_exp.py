@@ -226,3 +226,45 @@ def test_transcribed_grid_configs_current_and_parseable():
                 assert os.path.exists(flags["--data_config"]), name
             if "--ft_data_config" in flags:
                 assert os.path.exists(flags["--ft_data_config"]), name
+
+
+@pytest.mark.slow
+def test_piml_closed_loop_cli(tmp_path, toy_paths):
+    """The full closed loop as ONE CLI command (exp/iterate.main): iter-0
+    pretrain -> extract -> fit -> REGENERATE synthetic data by simulating
+    the fitted MLAPM -> iter-1 pretrain on the regenerated scenes -> fit.
+    Constants per iteration land in the JSON artifact."""
+    import json
+    import yaml
+
+    from piml_tpu.exp.iterate import main as loop_main
+
+    data_cfg = tmp_path / "data.yaml"
+    data_cfg.write_text(yaml.safe_dump({
+        "train": [toy_paths[2]], "valid": [toy_paths[1]],
+    }))
+    out = tmp_path / "loop.json"
+    rc = loop_main([
+        "--data_config", str(data_cfg), "--iterations", "2",
+        "--scenario", "basic_unit1", "--frames", "160",
+        "--work_dir", str(tmp_path), "--out", str(out),
+        # tiny budget PIMLConfig passthrough
+        "--model", "pinnsf_bm", "--epochs", "1", "--batch_size", "16",
+        "--skip_frames", "5", "--dropout", "0.0",
+        "--encoder_hidden_size", "16", "--encoder_hidden_layers", "2",
+        "--processor_hidden_size", "16", "--processor_hidden_layers", "2",
+        "--decoder_hidden_size", "8", "--decoder_hidden_layers", "2",
+        "--collision_pred_weight", "0.0",
+        "--save_dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    payload = json.loads(out.read_text())
+    its = payload["iterations"]
+    assert [r["iteration"] for r in its] == [0, 1]
+    for r in its:
+        assert np.isfinite(r["fit_A"]) and np.isfinite(r["val_loss"])
+    # the regenerated scenes actually exist and fed iteration 1
+    assert (tmp_path / "regen_iter0_train.npy").exists()
+    assert (tmp_path / "regen_iter0_valid.npy").exists()
+    regen = yaml.safe_load((tmp_path / "regen_iter0.yaml").read_text())
+    assert regen["train"][0].endswith("regen_iter0_train.npy")
