@@ -42,8 +42,24 @@ class IterationResult:
     fit_r2: float
     gp_expression: Optional[str] = None  # free-form SR cross-check
     gp_loss: Optional[float] = None
+    # joint vector fit of the full 2-D law (all five constants incl. the
+    # rotation angle; sr/fit.py::fit_vector_force_law) — needs a
+    # bottleneck model's per-edge forces
+    vec_A: Optional[float] = None
+    vec_B: Optional[float] = None
+    vec_C: Optional[float] = None
+    vec_D: Optional[float] = None
+    vec_theta_deg: Optional[float] = None
+    vec_r2: Optional[float] = None
 
     def mlapm_params(self, tau: float = 0.5, theta: float = 10.0) -> MLAPMParams:
+        """MLAPM constants for regeneration: the vector fit when it ran
+        (it pins C/D and the rotation angle the magnitude fit cannot see),
+        the magnitude fit otherwise."""
+        if self.vec_A is not None:
+            return MLAPMParams(version="GC", tau=tau, A=self.vec_A,
+                               B=self.vec_B, C=self.vec_C, D=self.vec_D,
+                               theta=self.vec_theta_deg)
         return MLAPMParams(version="GC", tau=tau, A=self.fit_A, B=self.fit_B,
                            C=self.fit_C, D=self.fit_D, theta=theta)
 
@@ -53,13 +69,17 @@ def run_iteration(
     dataset: PointwiseDataset,
     logger: Optional[MetricLogger] = None,
     gp_check: bool = False,
+    vector_fit: bool = False,
 ) -> Tuple[IterationResult, object]:
     """One loop turn: train → extract messages → fit the force family.
 
     ``gp_check=True`` additionally runs the free-form symbolic-regression
     search (reference symbolic_regression.py:38-52; PySR when installed,
     the native GP engine otherwise) on the same filtered (r, cosθ) data and
-    records the discovered expression alongside the closed-form fit."""
+    records the discovered expression alongside the closed-form fit.
+    ``vector_fit=True`` also runs the joint VECTOR fit on the raw per-edge
+    (dr, dv, F) triples — recovers C/D/θ the magnitude fit cannot see
+    (bottleneck models only)."""
     logger = logger or MetricLogger()
     trainer = Trainer(cfg, logger)
     state = trainer.train_pointwise(dataset.train_data, dataset.valid_data)
@@ -90,11 +110,27 @@ def run_iteration(
         gp_expr, gp_loss = best.expression, float(best.loss)
         logger.log(gp_expression=gp_expr, gp_loss=gp_loss)
 
+    vec = {}
+    if vector_fit:
+        from piml_tpu.sr import (fit_vector_force_law,
+                                 prepare_vector_regression_data)
+
+        dr, dv, F = prepare_vector_regression_data(
+            state.params, apply_fn, dataset.train_data)
+        if dr.shape[0]:
+            mag = np.linalg.norm(F, axis=-1)
+            keep = mag > np.percentile(mag, 50)
+            vfit = fit_vector_force_law(dr[keep], dv[keep], F[keep])
+            vec = dict(vec_A=vfit.A, vec_B=vfit.B, vec_C=vfit.C,
+                       vec_D=vfit.D, vec_theta_deg=vfit.theta_deg,
+                       vec_r2=vfit.r2)
+            logger.log(**vec)
+
     result = IterationResult(
         iteration=1 if not cfg.iter_flag else 2,
         val_loss=state.best_val,
         fit_A=fit.A, fit_B=fit.B, fit_C=fit.C, fit_D=fit.D, fit_r2=fit.r2,
-        gp_expression=gp_expr, gp_loss=gp_loss,
+        gp_expression=gp_expr, gp_loss=gp_loss, **vec,
     )
     return result, state.params
 
@@ -130,6 +166,7 @@ def piml_loop(
     regen_scenario: Optional[str] = None,
     regen_frames: int = 750,
     work_dir: Optional[str] = None,
+    vector_fit: bool = False,
 ) -> List[IterationResult]:
     """Full loop: iteration 1 uses the v0 analytic supervision; later
     iterations flip ``iter_flag`` so the v2 fitted family supervises.
@@ -157,7 +194,8 @@ def piml_loop(
         dataset = PointwiseDataset(polar=cfg.training_mode == "polar")
         dataset.load_data(data_config)
         cfg_it = dataset.build_dataset(cfg_it)
-        result, _ = run_iteration(cfg_it, dataset, logger)
+        result, _ = run_iteration(cfg_it, dataset, logger,
+                                  vector_fit=vector_fit)
         result = dataclasses.replace(result, iteration=it)
         results.append(result)
         logger.log(iteration=it, val_loss=result.val_loss)
@@ -197,13 +235,17 @@ def main(argv=None) -> int:
                          "fitted MLAPM on this scenario (closes the loop)")
     ap.add_argument("--frames", type=int, default=750)
     ap.add_argument("--work_dir", default=None)
+    ap.add_argument("--vector", type=int, default=0,
+                    help="also run the joint vector force-law fit "
+                         "(bottleneck models)")
     ap.add_argument("--out", default="sr_gc_loop.json")
     args, rest = ap.parse_known_args(argv)
 
     cfg = PIMLConfig.from_cli(rest)
     results = piml_loop(cfg, args.data_config, iterations=args.iterations,
                         regen_scenario=args.scenario,
-                        regen_frames=args.frames, work_dir=args.work_dir)
+                        regen_frames=args.frames, work_dir=args.work_dir,
+                        vector_fit=bool(args.vector))
     payload = [dataclasses.asdict(r) for r in results]
     with open(args.out, "w") as f:
         json.dump({"config": {"data_config": args.data_config,
