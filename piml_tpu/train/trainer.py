@@ -442,6 +442,7 @@ class Trainer:
         """Rollout finetuning (reference: simulators.py:409-428): fresh
         finetune model, partial warm start, BPTT through the scan."""
         cfg = self.cfg
+        t_setup = time.time()
         spec = ModelSpec.from_config(cfg)
         self.model = build_finetune_model(spec)
         self.finetune_flag = True
@@ -453,6 +454,7 @@ class Trainer:
             key, sample.ped_features[0, 0], sample.obs_features[0, 0],
             sample.self_features[0, 0],
         )
+        t_init = time.time()
         if pretrained is None:
             pre_path = checkpoint_path(cfg, finetuned=False)
             if os.path.exists(pre_path):
@@ -532,6 +534,7 @@ class Trainer:
         patience_limit = cfg.patience if cfg.compat_swapped_patience else cfg.ft_patience
         # epoch-0 checkpoint + baseline validation (simulators.py:298-304)
         dp_mesh = None  # set for real below; validate() closes over it
+        t_ck = time.time()
         start_epoch = _try_resume(cfg, state, True, self.logger) if cfg.resume else 0
         if start_epoch:
             best_params = load_params(checkpoint_path(cfg, True), state.params) \
@@ -539,7 +542,13 @@ class Trainer:
         else:
             save_params(checkpoint_path(cfg, True), state.params)
             best_params = state.params
+            t_ck = time.time()
             state.best_val = validate()
+            self.logger.info(
+                f"finetune setup: init+warm-start {t_init - t_setup:.1f} s, "
+                f"epoch-0 checkpoint {t_ck - t_init:.1f} s, "
+                f"baseline validation {time.time() - t_ck:.1f} s")
+        t_stack = time.time()
 
         # group same-shape window batches into stacked scan inputs; batch
         # composition is fixed across epochs, matching the reference's
@@ -583,6 +592,10 @@ class Trainer:
         n_train = max(sum(
             int(np.sum(np.asarray(b.mask_p_pred) == 1)) for b in train_batches
         ), 1)
+        jax.block_until_ready(stacks)
+        self.logger.info(
+            f"finetune setup: batch stacking + n_train scan "
+            f"{time.time() - t_stack:.1f} s ({len(stacks)} shape groups)")
 
         start = time.time()
         for epoch in range(start_epoch, cfg.epochs):

@@ -15,9 +15,14 @@ from piml_tpu.metrics.ot_banded import (
 
 @pytest.fixture
 def crowds():
+    # n chosen so the banded structure genuinely engages (grid ~35,
+    # multi-block windows) while the dense oracle's 100-iteration
+    # while_loop stays cheap on CPU; the spatial range keeps the GC
+    # stress density (~0.075/m²).  The full 12,685-agent shape runs on
+    # TPU in bench.py's dense_12685_metrics regime.
     rng = np.random.default_rng(7)
-    n = 3000
-    p = jnp.asarray(rng.uniform(0, 200, (n, 2)), jnp.float32)
+    n = 1200
+    p = jnp.asarray(rng.uniform(0, 126, (n, 2)), jnp.float32)
     q = jnp.asarray(p + rng.normal(0, 0.5, (n, 2)), jnp.float32)
     return p, q
 

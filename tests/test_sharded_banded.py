@@ -26,7 +26,7 @@ def mesh8():
     return Mesh(np.array(jax.devices()[:8]), ("ap",))
 
 
-def _scene(key, n=256, n_obs=40, absent_frac=0.2, spread=40.0):
+def _scene(key, n=160, n_obs=24, absent_frac=0.2, spread=32.0):
     kp, kv, ka, kd, ko, km = jax.random.split(key, 6)
     p = jax.random.uniform(kp, (n, 2), minval=0.0, maxval=spread)
     v = jax.random.normal(kv, (n, 2))

@@ -93,6 +93,11 @@ def main():
         "finetune_wall_s": wall,
         "first_epoch_incl_compile_s": epoch_t[0] if epoch_t else None,
         "steady_epoch_s": float(np.median(diffs)) if len(diffs) else None,
+        # everything before the trainer's own epoch clock starts (model
+        # init + warm-start merge + epoch-0 checkpoint + baseline
+        # validation + stacking the batch groups) plus the post-loop
+        # device_get — measured ~100 s at the paper config
+        "outside_epoch_loop_s": wall - (epoch_t[-1] if epoch_t else 0.0),
         "train_loss_finite": bool(np.isfinite(
             [r for r in recs if "train_loss" in r][-1]["train_loss"])),
     }
