@@ -150,6 +150,20 @@ def regenerate_scene(
 
     sched, obstacles = SCENARIOS[scenario](frames, seed=seed)
     ps, _, act = simulate_mlapm(mp, sched, frames, dt=time_unit)
+    # a badly-fitted law (e.g. B > 0: force GROWS with distance) can blow
+    # agents up to inf/NaN; the v2.2 codec rightly rejects NaN raw data.
+    # Deactivate an agent from its first non-finite frame onward so the
+    # scene stays loadable, and fail loudly if that guts the scene.
+    ps = np.asarray(ps)
+    act = np.asarray(act).astype(bool)
+    bad = ~np.isfinite(ps).all(axis=-1)               # (T, N)
+    act = act & ~np.maximum.accumulate(bad, axis=0)
+    ps = np.where(np.isfinite(ps), ps, 0.0)
+    if act.sum(0).max() < 2:
+        raise ValueError(
+            f"regenerated scene is degenerate (fitted law unstable: "
+            f"A={mp.A:.3g} B={mp.B:.3g} C={mp.C:.3g} D={mp.D:.3g}); "
+            f"refusing to write {out}")
     scene = to_scene(SFParams(time_unit=time_unit), sched, obstacles, ps, act,
                      meta={"source": f"piml_tpu mlapm-regen {scenario}",
                            "seed": seed, "A": mp.A, "B": mp.B, "C": mp.C,
