@@ -23,5 +23,6 @@ from piml_tpu.data.datasets import (  # noqa: F401
     load_scenes,
     perturb_velocity,
     split_train_val_test,
+    stacked_channel_batches,
 )
 from piml_tpu.data import processing  # noqa: F401

@@ -385,3 +385,79 @@ def channel_batches(data: List[ChanneledData], batch_size: int,
         for i in range(steps):
             out.append(d.slice_channels(order[i * batch_size:(i + 1) * batch_size]))
     return out
+
+
+# the 15 fields slice_channels gathers (leading window-channel axis);
+# the remaining array fields (abnormal_mask, dest_num, waypoints,
+# obstacles, desired_speed) are per-scene constants
+_CHANNEL_FIELDS = (
+    "ped_features", "obs_features", "self_features", "labels",
+    "mask_p", "mask_v", "mask_a", "mask_p_pred", "mask_v_pred",
+    "mask_a_pred", "position", "velocity", "acceleration", "destination",
+    "dest_idx",
+)
+_SCENE_CONST_FIELDS = (
+    "abnormal_mask", "dest_num", "waypoints", "obstacles", "desired_speed",
+)
+
+
+def stacked_channel_batches(
+    data: List[ChanneledData], batch_size: int, rng: np.random.RandomState,
+    shuffle: bool = False, time_unit_default=None,
+):
+    """Scan-ready stacked batch groups, equal LEAF-FOR-LEAF (same values,
+    same order) to grouping the :func:`channel_batches` list by batch shape
+    and ``jnp.stack``-ing each group — but built with ONE (steps, B)-indexed
+    gather per array field per scene instead of one slice per batch.
+
+    The per-batch form dispatches ~20 small device ops per batch; through
+    the TPU tunnel's per-op overhead that dominated finetune setup
+    (measured 136.6 s at the GC paper shape, 69 batches — vs ~1 s fused).
+
+    Returns ``(stacks, n_train)``: ``stacks`` is a list of ChanneledData
+    whose leading axis is batches-per-epoch (grouped by per-batch shape +
+    time_unit, concatenated across scenes in scene order, exactly like the
+    legacy grouping), and ``n_train`` is the on-device count of predicted
+    rows (``mask_p_pred == 1``) over the kept batches — fetch it with one
+    host sync instead of one ``np.sum`` per batch.
+
+    RNG consumption matches :func:`channel_batches` exactly: one
+    ``rng.permutation(n)`` per scene, in scene order, even for scenes too
+    small to yield a batch — so shuffled compositions are bit-identical.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    groups: Dict[tuple, list] = {}
+    n_train = None
+    for d in data:
+        n = d.num_channels
+        steps = n // batch_size
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        if steps == 0:
+            continue
+        idx = jnp.asarray(
+            np.ascontiguousarray(order[: steps * batch_size])
+            .reshape(steps, batch_size))
+        tu = d.meta_data.get("time_unit", time_unit_default)
+        d = d.replace(meta_data={"time_unit": tu})
+        fields = {f: getattr(d, f)[idx] for f in _CHANNEL_FIELDS}
+        fields.update({
+            f: jnp.broadcast_to(getattr(d, f),
+                                (steps,) + getattr(d, f).shape)
+            for f in _SCENE_CONST_FIELDS
+        })
+        stacked = d.replace(**fields)
+        nt = jnp.sum(stacked.mask_p_pred == 1)
+        n_train = nt if n_train is None else n_train + nt
+        key = tuple(fields["ped_features"].shape[1:]) + (tu,)
+        groups.setdefault(key, []).append(stacked)
+
+    stacks = [
+        bs[0] if len(bs) == 1 else jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *bs)
+        for bs in groups.values()
+    ]
+    if n_train is None:
+        n_train = jnp.asarray(0)
+    return stacks, n_train

@@ -63,13 +63,13 @@ def run(cfg: PIMLConfig, logger: Optional[MetricLogger] = None) -> dict:
         real.load_data(cfg.ft_data_config)
         cfg = real.build_dataset(cfg)
         trainer.cfg = cfg  # real-data feature dims / time unit
-        from piml_tpu.data import channel_batches
-
-        rng = np.random.RandomState(cfg.seed)
-        batches = channel_batches(real.train_data, cfg.ft_batch_size, rng,
-                                  shuffle=cfg.shuffle)
-        ft_state = trainer.finetune(batches, real.valid_data, real.test_data,
-                                    pretrained=state.params)
+        # scene path: the trainer builds the stacked scan inputs with one
+        # fused gather per field per scene — bit-identical composition to
+        # channel_batches(RandomState(cfg.seed), shuffle=cfg.shuffle)
+        ft_state = trainer.finetune(None, real.valid_data, real.test_data,
+                                    pretrained=state.params,
+                                    train_scenes=real.train_data,
+                                    shuffle=cfg.shuffle)
         results["finetune_val"] = ft_state.best_val
         state = ft_state
 

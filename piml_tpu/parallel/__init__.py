@@ -4,6 +4,7 @@ from piml_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
     replicate,
     pad_channels,
+    pad_channels_stacked,
     shard_channeled_batch,
     shard_stacked_channeled,
     shard_leading,

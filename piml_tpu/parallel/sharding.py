@@ -85,6 +85,36 @@ def pad_channels(batch: ChanneledData, multiple: int) -> ChanneledData:
     return batch.replace(**fields)
 
 
+def pad_channels_stacked(stacked: ChanneledData, multiple: int) -> ChanneledData:
+    """:func:`pad_channels` for a STACKED scan input (leading axis =
+    batches-per-epoch, second axis = window channels): pads axis 1 with the
+    same inert channels, so ``pad_channels_stacked(stack(bs))`` equals
+    ``stack([pad_channels(b) for b in bs])`` leaf-for-leaf."""
+    import numpy as np
+
+    c = stacked.ped_features.shape[1]
+    extra = -c % multiple
+    if extra == 0:
+        return stacked
+    per_channel = {
+        "ped_features", "obs_features", "self_features", "labels",
+        "mask_p", "mask_v", "mask_a", "mask_p_pred", "mask_v_pred",
+        "mask_a_pred", "velocity", "acceleration", "dest_idx",
+    }
+    nan_fields = {"position", "destination"}
+
+    def pad(x, value):
+        widths = [(0, 0), (0, extra)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, widths, constant_values=value)
+
+    fields = {}
+    for name in per_channel:
+        fields[name] = pad(getattr(stacked, name), 0)
+    for name in nan_fields:
+        fields[name] = pad(getattr(stacked, name), np.nan)
+    return stacked.replace(**fields)
+
+
 def shard_channeled_batch(batch: ChanneledData, mesh: Mesh,
                           axis: str = "dp") -> ChanneledData:
     """Shard the window-channel axis across devices; per-scene statics

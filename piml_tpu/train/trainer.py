@@ -224,7 +224,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def init_params(self, sample: PointwiseData):
         self.rng, key = jax.random.split(self.rng)
-        params = self.model.init(
+        # jit the init: flax otherwise dispatches every layer's RNG-derive +
+        # initializer as its own eager device op (~seconds of per-op tunnel
+        # latency for a deep ResDNN stack); one compiled program instead
+        params = jax.jit(self.model.init)(
             key, sample.ped_features[:1], sample.obs_features[:1],
             sample.self_features[:1],
         )
@@ -434,23 +437,40 @@ class Trainer:
     # ------------------------------------------------------------------
     def finetune(
         self,
-        train_batches: List[ChanneledData],
-        valid_data: List[TimeIndexedData],
+        train_batches: Optional[List[ChanneledData]] = None,
+        valid_data: List[TimeIndexedData] = None,
         test_data: Optional[List[TimeIndexedData]] = None,
         pretrained=None,
+        *,
+        train_scenes: Optional[List[ChanneledData]] = None,
+        shuffle: bool = True,
     ) -> TrainState:
         """Rollout finetuning (reference: simulators.py:409-428): fresh
-        finetune model, partial warm start, BPTT through the scan."""
+        finetune model, partial warm start, BPTT through the scan.
+
+        Pass EITHER ``train_batches`` (a :func:`channel_batches` list —
+        legacy path, one device slice per batch) or ``train_scenes`` (the
+        channeled scenes themselves): the scene path builds the stacked
+        epoch-scan inputs with :func:`stacked_channel_batches` — one fused
+        gather per field per scene, identical batch composition
+        (``RandomState(cfg.seed)``, ``shuffle``) and bit-identical stacks,
+        but without the per-batch device-op storm that cost 136 s of setup
+        through the TPU tunnel at the GC paper shape."""
         cfg = self.cfg
         t_setup = time.time()
+        assert (train_batches is None) != (train_scenes is None), \
+            "pass exactly one of train_batches / train_scenes"
         spec = ModelSpec.from_config(cfg)
         self.model = build_finetune_model(spec)
         self.finetune_flag = True
         self.tx = make_optimizer(cfg, finetune=True)
 
-        sample = train_batches[0]
+        sample = train_batches[0] if train_batches is not None \
+            else train_scenes[0]
         self.rng, key = jax.random.split(self.rng)
-        params = self.model.init(
+        # jitted init: one program instead of an eager per-layer op storm
+        # (measured ~22 s of the finetune setup through the TPU tunnel)
+        params = jax.jit(self.model.init)(
             key, sample.ped_features[0, 0], sample.obs_features[0, 0],
             sample.self_features[0, 0],
         )
@@ -460,7 +480,7 @@ class Trainer:
             if os.path.exists(pre_path):
                 spec_pre = ModelSpec.from_config(cfg, name=pretrain_model_name(cfg.model))
                 pre_model = build_model(spec_pre)
-                template = pre_model.init(
+                template = jax.jit(pre_model.init)(
                     jax.random.PRNGKey(0), sample.ped_features[0, 0],
                     sample.obs_features[0, 0], sample.self_features[0, 0],
                 )
@@ -565,22 +585,41 @@ class Trainer:
 
             dp_mesh = make_mesh(cfg.n_devices)
             self.logger.info(f"finetune: channel-DP over {cfg.n_devices} devices")
-            train_batches = [pad_channels(b, cfg.n_devices)
-                             for b in train_batches]
+            if train_batches is not None:
+                train_batches = [pad_channels(b, cfg.n_devices)
+                                 for b in train_batches]
             state.params = replicate(state.params, dp_mesh)
             state.opt_state = replicate(state.opt_state, dp_mesh)
 
-        groups: Dict[tuple, list] = {}
-        for batch in train_batches:
-            tu = batch.meta_data.get("time_unit", cfg.time_unit)
-            batch = batch.replace(meta_data={"time_unit": tu})
-            groups.setdefault(
-                tuple(batch.ped_features.shape) + (tu,), []
-            ).append(batch)
-        stacks = [
-            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs)
-            for bs in groups.values()
-        ]
+        if train_scenes is not None:
+            from piml_tpu.data.datasets import stacked_channel_batches
+
+            stacks, n_train_dev = stacked_channel_batches(
+                train_scenes, cfg.ft_batch_size,
+                np.random.RandomState(cfg.seed), shuffle=shuffle,
+                time_unit_default=cfg.time_unit)
+            if dp_mesh is not None:
+                from piml_tpu.parallel import pad_channels_stacked
+
+                stacks = [pad_channels_stacked(s, cfg.n_devices)
+                          for s in stacks]
+            n_train = max(int(np.asarray(n_train_dev)), 1)
+        else:
+            groups: Dict[tuple, list] = {}
+            for batch in train_batches:
+                tu = batch.meta_data.get("time_unit", cfg.time_unit)
+                batch = batch.replace(meta_data={"time_unit": tu})
+                groups.setdefault(
+                    tuple(batch.ped_features.shape) + (tu,), []
+                ).append(batch)
+            stacks = [
+                jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs)
+                for bs in groups.values()
+            ]
+            n_train = max(sum(
+                int(np.sum(np.asarray(b.mask_p_pred) == 1))
+                for b in train_batches
+            ), 1)
         if dp_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -589,9 +628,6 @@ class Trainer:
             stacks = [shard_stacked_channeled(s, dp_mesh) for s in stacks]
             repl = NamedSharding(dp_mesh, P())
             ft_epoch = jax.jit(ft_epoch_fn, out_shardings=(repl, repl, None))
-        n_train = max(sum(
-            int(np.sum(np.asarray(b.mask_p_pred) == 1)) for b in train_batches
-        ), 1)
         jax.block_until_ready(stacks)
         self.logger.info(
             f"finetune setup: batch stacking + n_train scan "
@@ -610,14 +646,18 @@ class Trainer:
                     state.params, state.opt_state, stacked,
                     jax.random.fold_in(ep_key, si),
                 )
-                log["coll_count"] += float(out.collision_count)
-                log["hard_count"] += float(out.hard_collision_count)
-                log["loss"] += float(out.loss)
-                log["mse"] += float(out.mse_loss)
-                log["coll"] += float(out.collision_loss)
-                log["hard"] += float(out.hard_collision_loss)
-                log["cp"] += float(out.collision_pred_loss)
-                log["reg"] += float(out.reg_loss)
+                # one host sync per shape group: eight separate float()
+                # fetches each pay the tunnel round trip (~28 ms) — at a
+                # handful of groups that was ~1 s/epoch of pure latency
+                vals = np.asarray(jnp.stack([
+                    jnp.asarray(s, jnp.float32) for s in (
+                        out.collision_count, out.hard_collision_count,
+                        out.loss, out.mse_loss, out.collision_loss,
+                        out.hard_collision_loss, out.collision_pred_loss,
+                        out.reg_loss)]))
+                for k, v in zip(("coll_count", "hard_count", "loss", "mse",
+                                 "coll", "hard", "cp", "reg"), vals):
+                    log[k] += float(v)
 
             self.logger.log(
                 epoch=epoch, time=time.time() - start,

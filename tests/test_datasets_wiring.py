@@ -163,3 +163,78 @@ def test_scene_list_split_dataset(toy_paths):
     assert len(ds.test_data) == 1
     assert len(ds.train_data) > len(ds.valid_data) > 0
     assert cfg.self_feature_dim > 0
+
+
+def test_stacked_channel_batches_matches_legacy(tmp_path, toy_paths):
+    """The fused epoch-stack builder (one gather per field per scene) must
+    equal the legacy form — channel_batches sliced per batch, grouped by
+    shape, jnp.stack per group — LEAF-FOR-LEAF: same rng consumption, same
+    meta normalization, same cross-scene group order, same n_train.  This
+    is what lets Trainer.finetune's scene path replace the per-batch device
+    -op storm (136 s of setup through the TPU tunnel at the GC shape)
+    without changing a single training bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from piml_tpu.data import (
+        FinetuneDataset,
+        channel_batches,
+        stacked_channel_batches,
+    )
+
+    cfg_file = tmp_path / "two_scene.yaml"
+    cfg_file.write_text(yaml.safe_dump(
+        {"train": [toy_paths[0], toy_paths[1]], "valid": [toy_paths[2]]}))
+    real = FinetuneDataset()
+    real.load_data(str(cfg_file))
+    cfg = real.build_dataset(_cfg(valid_steps=4, skip_frames=5))
+    bsz = 2
+
+    batches = channel_batches(real.train_data, bsz,
+                              np.random.RandomState(3), shuffle=True)
+    assert len(batches) >= 4, "need multiple batches per scene"
+    groups = {}
+    for b in batches:
+        tu = b.meta_data.get("time_unit", cfg.time_unit)
+        b = b.replace(meta_data={"time_unit": tu})
+        groups.setdefault(tuple(b.ped_features.shape) + (tu,), []).append(b)
+    legacy = [jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs)
+              for bs in groups.values()]
+
+    fused, n_train = stacked_channel_batches(
+        real.train_data, bsz, np.random.RandomState(3), shuffle=True,
+        time_unit_default=cfg.time_unit)
+
+    assert len(fused) == len(legacy)
+    for lg, fs in zip(legacy, fused):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), lg, fs)
+    expect = sum(int(np.sum(np.asarray(b.mask_p_pred) == 1)) for b in batches)
+    assert int(np.asarray(n_train)) == expect
+
+
+def test_pad_channels_stacked_matches_per_batch(tmp_path, toy_path):
+    """pad_channels_stacked(stack(bs)) == stack([pad_channels(b)]) — the
+    DP channel padding commutes with stacking."""
+    import jax
+    import jax.numpy as jnp
+
+    from piml_tpu.data import FinetuneDataset, channel_batches
+    from piml_tpu.parallel import pad_channels, pad_channels_stacked
+
+    cfg_file = tmp_path / "one_scene.yaml"
+    cfg_file.write_text(yaml.safe_dump(
+        {"train": [toy_path], "valid": [toy_path]}))
+    real = FinetuneDataset()
+    real.load_data(str(cfg_file))
+    real.build_dataset(_cfg(valid_steps=4, skip_frames=5))
+    bs = channel_batches(real.train_data, 3, np.random.RandomState(0))[:2]
+    bs = [b.replace(meta_data={"time_unit": 0.5}) for b in bs]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bs)
+    want = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[pad_channels(b, 4) for b in bs])
+    got = pad_channels_stacked(stacked, 4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg="padded stack"), want, got)

@@ -254,3 +254,53 @@ def test_trainer_finetune_channel_dp(eight_devices, tmp_path):
                     jax.tree_util.tree_leaves(p_8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_trainer_finetune_dp_scene_path_matches_batches(eight_devices, tmp_path):
+    """Under channel-DP, finetune(train_scenes=...) (stacked gathers +
+    pad_channels_stacked) must equal the legacy per-batch path (pad_channels
+    then stack) bit-for-bit — both run the same sharded epoch scan."""
+    import jax.numpy as jnp
+
+    from piml_tpu.config import PIMLConfig
+    from piml_tpu.data import channel_batches, make_time_indexed, to_channeled
+    from piml_tpu.scene import Scene
+    from piml_tpu.train import Trainer
+    from piml_tpu.utils import MetricLogger
+
+    def run(tag, use_scenes):
+        cfg = PIMLConfig(
+            skip_frames=5, valid_steps=5, encoder_hidden_size=16,
+            encoder_hidden_layers=2, processor_hidden_size=16,
+            processor_hidden_layers=2, decoder_hidden_size=8,
+            decoder_hidden_layers=2, dropout=0.0, model="pinnsf_bm",
+            epochs=1, ft_batch_size=2, collision_pred_weight=0.0,
+            reg_weight=0.0, n_devices=8,
+            save_dir=str(tmp_path / tag), model_name_suffix=tag,
+        )
+        scene = Scene.load(
+            "/root/reference/data/GC_Dataset/GC_Dataset_toy1.npy")
+        data = make_time_indexed(cfg, scene)
+        cfg = cfg.replace(
+            self_feature_dim=int(data.self_features.shape[-1]),
+            ped_feature_dim=int(data.ped_features.shape[-1]),
+            obs_feature_dim=int(data.obs_features.shape[-1]))
+        ch = to_channeled(data, cfg.valid_steps, "slice").slice_channels(
+            np.arange(4))
+        trainer = Trainer(cfg, MetricLogger(stream=None))
+        if use_scenes:
+            st = trainer.finetune(None, [data], None, pretrained=None,
+                                  train_scenes=[ch], shuffle=True)
+        else:
+            batches = channel_batches([ch], cfg.ft_batch_size,
+                                      np.random.RandomState(cfg.seed),
+                                      shuffle=True)
+            st = trainer.finetune(batches, [data], None, pretrained=None)
+        return st
+
+    a = run("dpbatch", False)
+    b = run("dpscene", True)
+    assert a.best_val == b.best_val
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -253,3 +253,36 @@ def test_prng_impl_knob():
         assert jax.random.PRNGKey(0).shape == (2,)
     finally:
         jax.config.update("jax_default_prng_impl", default)
+
+
+def test_finetune_scene_path_matches_batch_path(tmp_path, toy_view):
+    """Trainer.finetune(train_scenes=...) — the fused stacking that removes
+    the per-batch device-op storm from setup — must train bit-identically
+    to the legacy channel_batches path: identical stacks feed an identical
+    epoch scan, so the final params and best validation loss are equal."""
+    from piml_tpu.data import channel_batches
+
+    cfg = tiny_cfg(tmp_path, model="pinnsf_bm", epochs=1, ft_batch_size=2,
+                   collision_pred_weight=10.0, collision_loss_weight=1.0)
+    cfg = cfg.replace(self_feature_dim=int(toy_view.self_features.shape[-1]))
+    scene = to_channeled(toy_view, stride=cfg.valid_steps).slice_channels(
+        np.arange(6))
+    states = {}
+    for name in ("legacy", "scenes"):
+        c = cfg.replace(save_dir=str(tmp_path / name))
+        tr = Trainer(c, MetricLogger(stream=open(os.devnull, "w")))
+        if name == "legacy":
+            batches = channel_batches(
+                [scene], c.ft_batch_size, np.random.RandomState(c.seed),
+                shuffle=True)
+            states[name] = tr.finetune(batches, [toy_view], None,
+                                       pretrained=None)
+        else:
+            states[name] = tr.finetune(None, [toy_view], None,
+                                       pretrained=None,
+                                       train_scenes=[scene], shuffle=True)
+    assert states["legacy"].best_val == states["scenes"].best_val
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        states["legacy"].params, states["scenes"].params)

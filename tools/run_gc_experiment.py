@@ -21,12 +21,11 @@ import os
 import sys
 import time
 
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from piml_tpu.config import PIMLConfig
-from piml_tpu.data import FinetuneDataset, PointwiseDataset, channel_batches
+from piml_tpu.data import FinetuneDataset, PointwiseDataset
 from piml_tpu.engine import evaluate_rollouts
 from piml_tpu.train import Trainer, checkpoint_path, load_params
 from piml_tpu.utils import MetricLogger
@@ -171,13 +170,13 @@ def main():
 
     # ---- finetune with the differentiable rollout loss --------------------
     if cli.stage in {"all", "finetune"}:
-        rng = np.random.RandomState(cfg.seed)
-        batches = channel_batches(real.train_data, cfg.ft_batch_size, rng,
-                                  shuffle=True)
-        logger.info(f"finetune batches: {len(batches)}")
         t0 = time.time()
-        ft_state = trainer.finetune(batches, real.valid_data, None,
-                                    pretrained=params)
+        # scene path: the trainer builds the stacked scan inputs with one
+        # fused gather per field per scene (bit-identical composition to
+        # channel_batches(RandomState(cfg.seed), shuffle=True))
+        ft_state = trainer.finetune(None, real.valid_data, None,
+                                    pretrained=params,
+                                    train_scenes=real.train_data)
         results["finetune"] = {
             "val_loss": ft_state.best_val, "wall_s": time.time() - t0,
             "epochs_ran": ft_state.epoch + 1,
