@@ -14,6 +14,12 @@ from piml_tpu.parallel.agent_shard import (  # noqa: F401
     ring_topk_neighbors,
     sharded_relative_features,
 )
+from piml_tpu.parallel.tensor_parallel import (  # noqa: F401
+    make_tp_apply,
+    make_tp_dp_finetune_step,
+    shard_params_tp,
+    tp_param_shardings,
+)
 from piml_tpu.parallel.distributed import (  # noqa: F401
     init_distributed,
     is_multi_host,
