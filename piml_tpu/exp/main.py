@@ -28,9 +28,32 @@ def set_exp_seed(cfg: PIMLConfig) -> None:
     np.random.seed(cfg.seed)
 
 
+def set_process_title(cfg: PIMLConfig) -> str:
+    """Label the process ``exp_name@user_name`` (reference: src/main.py:123,
+    utils.py) so sweep runs are identifiable in ps/top.  Uses setproctitle
+    when installed; otherwise falls back to the kernel's PR_SET_NAME comm
+    field via ctypes (truncated to 15 bytes — the Linux limit).  Never
+    fatal: observability nicety only."""
+    title = f"{cfg.exp_name}@{cfg.user_name}"
+    try:
+        import setproctitle  # not in the baked image; optional
+
+        setproctitle.setproctitle(title)
+    except Exception:
+        try:
+            import ctypes
+
+            libc = ctypes.CDLL(None, use_errno=True)
+            libc.prctl(15, title.encode()[:15], 0, 0, 0)  # PR_SET_NAME
+        except Exception:
+            pass
+    return title
+
+
 def run(cfg: PIMLConfig, logger: Optional[MetricLogger] = None) -> dict:
     logger = logger or MetricLogger()
     set_exp_seed(cfg)
+    set_process_title(cfg)
     if cfg.save_configs:
         os.makedirs(cfg.config_dir, exist_ok=True)
         cfg.save(os.path.join(cfg.config_dir, f"config_{cfg.model_name_suffix}.json"))

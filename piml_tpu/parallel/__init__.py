@@ -14,6 +14,12 @@ from piml_tpu.parallel.agent_shard import (  # noqa: F401
     ring_topk_neighbors,
     sharded_relative_features,
 )
+from piml_tpu.parallel.metrics_shard import (  # noqa: F401
+    sharded_mmd,
+    sharded_mmd_with_time_mask,
+    sharded_ot_with_time_mask,
+    sharded_sinkhorn,
+)
 from piml_tpu.parallel.tensor_parallel import (  # noqa: F401
     make_tp_apply,
     make_tp_dp_finetune_step,

@@ -38,6 +38,7 @@ from piml_tpu.models import (
 )
 from piml_tpu.physics import forces
 from piml_tpu.train import losses
+from piml_tpu.utils import compile_attrib
 from piml_tpu.utils.logging import MetricLogger
 
 
@@ -490,6 +491,7 @@ class Trainer:
 
         opt_state = self.tx.init(params)
         state = TrainState(params, opt_state)
+        compile_attrib.mark("ft_init_warmstart")
 
         # dropout is LIVE during the finetune rollout (the reference trains
         # under model.train(), simulators.py:295); rng=None falls back to the
@@ -568,6 +570,7 @@ class Trainer:
                 f"finetune setup: init+warm-start {t_init - t_setup:.1f} s, "
                 f"epoch-0 checkpoint {t_ck - t_init:.1f} s, "
                 f"baseline validation {time.time() - t_ck:.1f} s")
+        compile_attrib.mark("ft_baseline_validate")
         t_stack = time.time()
 
         # group same-shape window batches into stacked scan inputs; batch
@@ -632,6 +635,7 @@ class Trainer:
         self.logger.info(
             f"finetune setup: batch stacking + n_train scan "
             f"{time.time() - t_stack:.1f} s ({len(stacks)} shape groups)")
+        compile_attrib.mark("ft_stacking")
 
         start = time.time()
         for epoch in range(start_epoch, cfg.epochs):
@@ -667,6 +671,8 @@ class Trainer:
             )
 
             val_loss = validate()
+            if epoch == start_epoch:
+                compile_attrib.mark("ft_first_epoch")
             if val_loss < state.best_val:
                 self.logger.info(f"model saved at epoch {epoch}")
                 save_params(checkpoint_path(cfg, True), state.params)
@@ -679,6 +685,7 @@ class Trainer:
                     break
             if cfg.resume and epoch % max(cfg.resume_every, 1) == 0:
                 _save_resumable(cfg, state, True)
+        compile_attrib.mark("ft_steady_epochs")
 
         # final evaluation uses the best-validation checkpoint
         # (reference: finetune → test_multiple_rollouts with load_model=True,

@@ -268,3 +268,20 @@ def test_piml_closed_loop_cli(tmp_path, toy_paths):
     assert (tmp_path / "regen_iter0_valid.npy").exists()
     regen = yaml.safe_load((tmp_path / "regen_iter0.yaml").read_text())
     assert regen["train"][0].endswith("regen_iter0_train.npy")
+
+
+def test_set_process_title():
+    """Reference src/main.py:123 labels the process exp_name@user_name; the
+    PR_SET_NAME fallback must set the kernel comm (truncated to 15 bytes)."""
+    from piml_tpu.config import PIMLConfig
+    from piml_tpu.exp.main import set_process_title
+
+    cfg = PIMLConfig(exp_name="ptitle_check", user_name="u")
+    title = set_process_title(cfg)
+    assert title == "ptitle_check@u"
+    try:
+        with open("/proc/self/comm") as f:
+            comm = f.read().strip()
+    except OSError:
+        return  # non-Linux: setproctitle path already returned the title
+    assert comm == title.encode()[:15].decode(errors="replace")

@@ -13,6 +13,7 @@ import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 
 from piml_tpu.parallel import (
+    make_tp_apply,
     make_tp_dp_finetune_step,
     replicate,
     shard_channeled_batch,
@@ -78,10 +79,8 @@ def test_tp_forward_matches_replicated(eight_devices):
     ref = model.apply(params, ped, obs, self_f).pred_acc
 
     mesh = Mesh(np.array(eight_devices), ("tp",))
-    params_tp, _ = shard_params_tp(params, mesh)
-    got = jax.jit(
-        lambda p, a, b, c: model.apply(p, a, b, c).pred_acc
-    )(params_tp, ped, obs, self_f)
+    apply_jit, params_tp = make_tp_apply(model, mesh, params)
+    got = apply_jit(params_tp, ped, obs, self_f).pred_acc
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
 

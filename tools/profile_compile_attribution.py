@@ -1,0 +1,75 @@
+"""Attribute the finetune one-time setup/compile term (VERDICT r4 item 1).
+
+epoch_breakdown.json showed the 6-epoch GC paper finetune is ~96 s of
+setup/compile + ~11.5 s of training, *with the persistent compile cache
+warm*.  This tool splits that term into the phases the jax.monitoring
+stream exposes — Python tracing, jaxpr->MLIR lowering, XLA backend compile
+(which on axon includes the tunnel compile-helper round trip), and
+persistent-cache hit/miss/deserialize — per trainer phase and per program.
+
+Run twice to separate cold-cache from warm-cache behavior:
+
+    PIML_COMPILE_CACHE=/tmp/attrib_cache python tools/profile_compile_attribution.py --tag cold
+    PIML_COMPILE_CACHE=/tmp/attrib_cache python tools/profile_compile_attribution.py --tag warm
+
+Writes compile_attrib_{tag}.json.  Needs the shared1 pretrain checkpoint
+(tools/run_gc_experiment.py --stage pretrain --set model_name_suffix=shared1).
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", default="warm")
+    ap.add_argument("--suffix", default="shared1")
+    ap.add_argument("--epochs", type=int, default=6)
+    cli = ap.parse_args()
+
+    from piml_tpu.data import FinetuneDataset
+    from piml_tpu.data.views import to_pointwise
+    from piml_tpu.train import Trainer
+    from piml_tpu.utils import MetricLogger
+    from piml_tpu.utils.compile_attrib import CompileAttribution
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from run_gc_experiment import load_pretrained, paper_cfg
+
+    cfg = paper_cfg(epochs=cli.epochs).replace(
+        model_name_suffix=cli.suffix, resume=False)
+    t0 = time.time()
+    real = FinetuneDataset()
+    real.load_data(cfg.ft_data_config)
+    cfg = real.build_dataset(cfg)
+    data_s = time.time() - t0
+
+    logger = MetricLogger(stream=io.StringIO())
+    with CompileAttribution() as attrib:
+        trainer = Trainer(cfg, logger)
+        pretrained = load_pretrained(cfg, trainer,
+                                     to_pointwise(real.valid_data[0]))
+        attrib.mark("load_pretrained")
+        trainer.finetune(None, real.valid_data, None, pretrained=pretrained,
+                         train_scenes=real.train_data)
+    out = attrib.summary()
+    out["dataset_build_s"] = round(data_s, 3)
+    out["epochs"] = cli.epochs
+    out["cache_dir"] = os.environ.get("PIML_COMPILE_CACHE", "(default)")
+    print(json.dumps(out, indent=2))
+    path = os.path.join(ROOT, f"compile_attrib_{cli.tag}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
