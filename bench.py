@@ -349,19 +349,148 @@ def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
     return out
 
 
-def bench_dense_metrics(roundtrip_s, frames=5):
+def bench_train_step_denseN(roundtrip_s, n=STRESS_N, channels=2, frames=10,
+                            steps=3):
+    """Finetune BPTT train step at DENSE agent count (VERDICT r4 item 4):
+    ``channels``-channel batch × ``frames``-frame differentiable rollout with
+    ALL ``n`` agent slots live — the banded-batched feature path under grad
+    (engine/simulator.py routes to batched_rollout + the banded cell-list
+    selector at this size), full loss stack, Adam update.  The reference's
+    training hot loop (src/models/simulators.py:659-832) cannot materialize
+    its dense (C, N, N, 6) tensors here at all."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from piml_tpu.config import PIMLConfig
+    from piml_tpu.data.views import ChanneledData
+    from piml_tpu.engine.simulator import training_rollout_loss
+    from piml_tpu.models import ModelSpec, build_finetune_model
+    from piml_tpu.physics import NeighborConfig, relative_features
+    from piml_tpu.train.trainer import make_optimizer
+
+    cfg = PIMLConfig(
+        model="pinnsf_bm", dataset_name="gc2344", dropout=0.0, skip_frames=25,
+        valid_steps=frames, ft_batch_size=channels, learning_rate=2e-4,
+        weight_decay=1e-6, finetune_lr_decay=0.02,
+        collision_pred_weight=5e-2, collision_loss_weight=200.0,
+        collision_focus_weight=1.0, hard_collision_penalty=2.0,
+        time_decay=0.9, reg_weight=1e-2, collision_loss_version="v2",
+        ped_feature_dim=6, obs_feature_dim=6, self_feature_dim=7,
+        time_unit=0.08,
+    )
+    C, T = channels, frames
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 6)
+    # GC density (~0.3 agents/m²) over a 200 m box, like the dense stress
+    pos0 = jax.random.uniform(ks[0], (C, n, 2)) * 200.0
+    vel0 = jax.random.normal(ks[1], (C, n, 2))
+    acc0 = jnp.zeros((C, n, 2))
+    wp = jax.random.uniform(ks[2], (1, n, 2)) * 200.0
+    dest0 = jnp.broadcast_to(wp[0][None], (C, n, 2))
+    obstacles = jax.random.uniform(ks[3], (64, 2)) * 200.0
+    ds = jnp.full((n,), 1.34)
+
+    ncfg = NeighborConfig()
+    pf0, of0, df0 = jax.vmap(
+        lambda p, v, a, d: relative_features(p, v, a, d, obstacles, ncfg)
+    )(pos0, vel0, acc0, dest0)
+    sf0 = jnp.concatenate(
+        [df0, vel0, acc0, jnp.broadcast_to(ds[None, :, None], (C, n, 1))],
+        axis=-1)
+
+    # synthetic GT labels: positions drifting at the initial velocity —
+    # only frame 0's features are consumed (the rollout rebuilds features
+    # per frame); later frames carry the supervision targets/masks
+    def tile_t(x):
+        return jnp.broadcast_to(x[:, None], (C, T) + x.shape[1:])
+
+    t_drift = jnp.arange(T, dtype=jnp.float32)[None, :, None, None] * 0.08
+    pos = pos0[:, None] + vel0[:, None] * t_drift
+    labels = jnp.concatenate(
+        [pos, tile_t(vel0), tile_t(acc0), jnp.zeros((C, T, n, 1))], axis=-1)
+    ones = jnp.ones((C, T, n))
+    batch = ChanneledData(
+        ped_features=tile_t(pf0), obs_features=tile_t(of0),
+        self_features=tile_t(sf0), labels=labels,
+        mask_p=ones, mask_v=ones, mask_a=ones,
+        mask_p_pred=ones, mask_v_pred=ones, mask_a_pred=ones,
+        position=pos, velocity=tile_t(vel0), acceleration=tile_t(acc0),
+        destination=tile_t(dest0),
+        dest_idx=jnp.zeros((C, T, n), jnp.int32),
+        abnormal_mask=jnp.ones((n,)),
+        dest_num=jnp.ones((n,), jnp.int32), waypoints=wp,
+        obstacles=obstacles, desired_speed=ds,
+        meta_data={"time_unit": 0.08},
+    )
+
+    model = build_finetune_model(ModelSpec.from_config(cfg))
+    params = model.init(
+        jax.random.PRNGKey(0), batch.ped_features[0, 0],
+        batch.obs_features[0, 0], batch.self_features[0, 0],
+    )
+    # clamp like the dense stress: untrained weights would fling agents
+    # out of the banded kernel's density regime within the window
+    raw_apply = lambda p, pf, of, sf: model.apply(p, pf, of, sf)
+
+    def apply_fn(p, pf, of, sf):
+        out = raw_apply(p, pf, of, sf)
+        return out._replace(pred_acc=jnp.clip(out.pred_acc, -5.0, 5.0))
+
+    tx = make_optimizer(cfg, finetune=True)
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, b):
+        def loss_fn(p):
+            return training_rollout_loss(p, apply_fn, cfg, b).loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def run(params, opt_state, b):
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o, b)
+            return (p, o), loss
+
+        (_, _), ls = jax.lax.scan(body, (params, opt_state), None,
+                                  length=steps)
+        return jnp.sum(ls)
+
+    dt = _timed_scalar(run, params, opt_state, batch, reps=2) - roundtrip_s
+    dt = max(dt, 1e-6)
+    per_step = dt / steps
+    return {
+        "batch_windows": C,
+        "bptt_frames": T,
+        "n_agent_slots": n,
+        "s_per_step": per_step,
+        "steps_per_sec": 1.0 / per_step,
+        "agent_frame_grads_per_sec": C * T * n / per_step,
+        "dynamics_clamped": True,
+    }
+
+
+def bench_dense_metrics(roundtrip_s, frames=5, n=STRESS_N):
     """Metric suite at dense-stress scale (VERDICT r2 item 4): per-frame
-    Sinkhorn OT + multi-kernel MMD between two N=12,685 crowds through the
-    streaming chunked kernels (piml_tpu/metrics) — the dense matrices would
-    be 0.6-2.6 GB/frame; the reference's torch metrics cannot run here."""
+    Sinkhorn OT + multi-kernel MMD between two N-agent crowds through the
+    banded/streaming kernels (piml_tpu/metrics) — the dense matrices would
+    be 0.6-2.6 GB/frame at N=12,685 (42 GB at 102,400); the reference's
+    torch metrics cannot run here.  The box scales with N to hold GC
+    density (~0.3 agents/m²), the regime the banded Sinkhorn is built
+    for."""
+    import math
+
     import jax
     import jax.numpy as jnp
 
     from piml_tpu.metrics import mmd_with_time_mask, ot_with_time_mask
 
-    n = STRESS_N
+    extent = 200.0 * math.sqrt(n / STRESS_N)
     key = jax.random.PRNGKey(7)
-    p = jax.random.uniform(key, (frames, n, 2)) * 200.0
+    p = jax.random.uniform(key, (frames, n, 2)) * extent
     q = p + jax.random.normal(jax.random.PRNGKey(8), (frames, n, 2)) * 0.5
     mask = jnp.ones((frames, n))
 
@@ -425,7 +554,13 @@ def main():
     gc = bench_gc_window(roundtrip)
     stress = _safe(bench_dense_stress, roundtrip)
     dense_metrics = _safe(bench_dense_metrics, roundtrip)
+    # metrics scaling row at the simulation bench's largest N (VERDICT r4
+    # item 3: the eval side now has the same scaling story as the engine)
+    metrics_100k = _safe(bench_dense_metrics, roundtrip, frames=2, n=102400)
     train = _safe(bench_train_step, roundtrip)
+    # dense-N training row (VERDICT r4 item 4): BPTT with all 12,685 slots
+    # live through the banded-batched feature path
+    train_denseN = _safe(bench_train_step_denseN, roundtrip)
     # batch-scaling point: windows/s is ~flat in C (the step is VPU-bound in
     # the O(C·N²) per-frame feature/collision work, not dispatch-bound —
     # measured in train_step_scaling.json), so C=128 is a representative
@@ -469,7 +604,9 @@ def main():
             "dense_12685_stress": r(stress),
             "dense_12685_vs_baseline": round(stress_vs, 2) if stress_vs else None,
             "dense_12685_metrics": r(dense_metrics),
+            "dense_102400_metrics": r(metrics_100k),
             "finetune_train_step": r(train, 6),
+            "finetune_train_step_denseN": r(train_denseN, 6),
             "finetune_train_step_dense": r(train_dense, 6),
             "finetune_train_step_bf16": r(train_bf16, 6),
         },

@@ -78,7 +78,12 @@ if not _os.environ.get("PIML_NO_COMPILE_CACHE") and (
             ),
         )
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING: on the axon tunnel even a sub-second compile
+        # pays a ~0.5-1 s remote round trip, and a CLI run dispatches ~150
+        # small one-off programs (stacking gathers, eager scalar ops) — at
+        # the default 1.0 s threshold none of them were ever cached, so
+        # every run re-paid ~60-100 s (compile_attrib_warm.json, round 5)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

@@ -141,16 +141,30 @@ _CACHE_FIELDS = (
 
 
 def _feature_cache_dir() -> Optional[str]:
-    """On-disk cache for built feature views.  The O(T·N²) feature pass over
-    a GC scene costs minutes; its output is a pure function of the scene
-    content and a handful of config knobs, so experiment reruns (stage
-    resume, ablations, SR extraction) hit the cache instead.  Disable with
-    ``PIML_FEATURE_CACHE=0``; point elsewhere by setting it to a path."""
+    """On-disk cache for built feature views — CPU hosts only by default.
+
+    On CPU the O(T·N²) pass over a GC scene costs minutes, so experiment
+    reruns (stage resume, ablations, SR extraction) hit this cache instead.
+    On the TPU backend the pass itself runs in milliseconds once its
+    programs are in the persistent compile cache, while the npz round-trip
+    ships ~100 MB/scene of feature tensors across the ~2 MB/s axon tunnel
+    (measured round 5: a cache LOAD cost 200+ s of H2D and a cache STORE
+    600+ s of D2H — compile_attrib_warm{,2}.json) — so TPU builds stay
+    device-resident and never touch this cache.  Force a path with
+    ``PIML_FEATURE_CACHE=<dir>``; disable everywhere with
+    ``PIML_FEATURE_CACHE=0``."""
     v = os.environ.get("PIML_FEATURE_CACHE", "")
     if v == "0":
         return None
     if v:
         return v
+    try:
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":
+            return None
+    except Exception:
+        pass
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     return os.path.join(root, ".feature_cache")

@@ -36,7 +36,6 @@ def main():
     cli = ap.parse_args()
 
     from piml_tpu.data import FinetuneDataset
-    from piml_tpu.data.views import to_pointwise
     from piml_tpu.train import Trainer
     from piml_tpu.utils import MetricLogger
     from piml_tpu.utils.compile_attrib import CompileAttribution
@@ -44,19 +43,19 @@ def main():
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     from run_gc_experiment import load_pretrained, paper_cfg
 
-    cfg = paper_cfg(epochs=cli.epochs).replace(
-        model_name_suffix=cli.suffix, resume=False)
-    t0 = time.time()
-    real = FinetuneDataset()
-    real.load_data(cfg.ft_data_config)
-    cfg = real.build_dataset(cfg)
-    data_s = time.time() - t0
-
     logger = MetricLogger(stream=io.StringIO())
     with CompileAttribution() as attrib:
+        cfg = paper_cfg(epochs=cli.epochs).replace(
+            model_name_suffix=cli.suffix, resume=False)
+        t0 = time.time()
+        real = FinetuneDataset()
+        real.load_data(cfg.ft_data_config)
+        attrib.mark("dataset_load")
+        cfg = real.build_dataset(cfg)
+        data_s = time.time() - t0
+        attrib.mark("dataset_build")
         trainer = Trainer(cfg, logger)
-        pretrained = load_pretrained(cfg, trainer,
-                                     to_pointwise(real.valid_data[0]))
+        pretrained = load_pretrained(cfg, trainer)
         attrib.mark("load_pretrained")
         trainer.finetune(None, real.valid_data, None, pretrained=pretrained,
                          train_scenes=real.train_data)

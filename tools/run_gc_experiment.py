@@ -88,11 +88,20 @@ def run_pretrain(cfg, logger, results):
     return cfg, trainer, state.params
 
 
-def load_pretrained(cfg, trainer, sample):
-    template = trainer.model.init(
-        __import__("jax").random.PRNGKey(0), sample.ped_features[:1],
-        sample.obs_features[:1], sample.self_features[:1],
-    )
+def load_pretrained(cfg, trainer, sample=None):
+    import jax
+    import numpy as np
+
+    # template from SHAPES only: params are independent of the neighbor
+    # count and of the data values, so building a pointwise view of a real
+    # scene just for the init sample shipped ~100 MB across the ~2 MB/s
+    # axon tunnel (211 s unattributed in compile_attrib_warm2.json).
+    # jitted init: the eager flax init dispatches ~70 per-layer device ops,
+    # each a ~0.5 s tunnel compile (30 s measured, compile_attrib_warm.json)
+    ped = np.zeros((1, 2, cfg.ped_feature_dim), np.float32)
+    obs = np.zeros((1, 2, cfg.obs_feature_dim), np.float32)
+    sf = np.zeros((1, cfg.self_feature_dim), np.float32)
+    template = jax.jit(trainer.model.init)(jax.random.PRNGKey(0), ped, obs, sf)
     return load_params(checkpoint_path(cfg, finetuned=False), template)
 
 
@@ -137,10 +146,7 @@ def main():
     cfg = real.build_dataset(cfg)
     if cli.stage in {"finetune", "evaluate"}:
         trainer = Trainer(cfg, logger)
-        sample_pw = None
-        from piml_tpu.data.views import to_pointwise
-        sample_pw = to_pointwise(real.valid_data[0])
-        params = load_pretrained(cfg, trainer, sample_pw)
+        params = load_pretrained(cfg, trainer)
     trainer.cfg = cfg
 
     # ground truth's own collision counts on the test window — the
