@@ -11,6 +11,7 @@ shapes (done once, offline).
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -222,8 +223,11 @@ def _build_time_indexed(cfg: PIMLConfig, scene: Scene, polar: bool = False,
     """Build the supervised frame-keyed view (reference: data.py:746-834).
 
     ``time_chunk > 0`` bounds peak memory of the O(T·N²) feature pass; it is
-    chosen automatically for large scenes when 0.
-    """
+    chosen automatically for large scenes when 0.  The whole build runs as
+    ONE jitted program per (scene shape, knobs): dispatched eagerly it is
+    ~240 op-programs per scene, each of which pays a ~0.6 s remote compile
+    round trip through the axon tunnel on first sight
+    (compile_attrib_fixed.json, round 5)."""
     ncfg = neighbor_config(cfg)
     if time_chunk == 0:
         # keep the per-chunk (chunk, N, max(N, M_obs)) distance workspace
@@ -234,10 +238,21 @@ def _build_time_indexed(cfg: PIMLConfig, scene: Scene, polar: bool = False,
         work = scene.num_pedestrians * m
         if scene.num_steps * work > 2.5e8:
             time_chunk = max(1, int(2.5e8 // work))
+    return _build_time_indexed_core(
+        scene, ncfg, cfg.skip_frames, cfg.num_history_velocity, polar,
+        time_chunk)
+
+
+@partial(jax.jit, static_argnames=("ncfg", "skip_frames",
+                                   "num_history_velocity", "polar",
+                                   "time_chunk"))
+def _build_time_indexed_core(scene: Scene, ncfg: NeighborConfig,
+                             skip_frames: int, num_history_velocity: int,
+                             polar: bool, time_chunk: int) -> TimeIndexedData:
     ped_f, obs_f, dest_f = _relative_features_chunked(scene, ncfg, time_chunk)
 
-    hist_v = history_velocity(scene.velocity, cfg.num_history_velocity)
-    ds = calc_desired_speed(scene.velocity, cfg.skip_frames)  # (N,)
+    hist_v = history_velocity(scene.velocity, num_history_velocity)
+    ds = calc_desired_speed(scene.velocity, skip_frames)  # (N,)
     T = scene.num_steps
     ds_col = jnp.broadcast_to(ds[None, :, None], (T, scene.num_pedestrians, 1))
 
@@ -257,7 +272,7 @@ def _build_time_indexed(cfg: PIMLConfig, scene: Scene, polar: bool = False,
 
     abnormal = turn_detection(scene.position, scene.velocity, scene.mask_v)
 
-    skip = cfg.skip_frames
+    skip = skip_frames
     mask_a_pred = move_index_matrix(scene.mask_a, "backward", skip - 1)
     mask_v_pred = move_index_matrix(scene.mask_v, "backward", skip - 1)
     mask_p_pred = move_index_matrix(scene.mask_p, "backward", skip - 1)
@@ -435,8 +450,12 @@ class ChanneledData:
         )
 
 
+@partial(jax.jit, static_argnames=("stride", "mode"))
 def to_channeled(data: TimeIndexedData, stride: int = 25,
                  mode: str = "slice") -> ChanneledData:
+    # one fused program per (scene shape, stride, mode): eagerly this is
+    # ~20 windowed-gather dispatches per scene, each a remote compile on
+    # first sight through the axon tunnel
     w = lambda x: window_slice(x, stride, mode)
     return ChanneledData(
         ped_features=w(data.ped_features), obs_features=w(data.obs_features),

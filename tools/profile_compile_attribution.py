@@ -52,8 +52,14 @@ def main():
         real.load_data(cfg.ft_data_config)
         attrib.mark("dataset_load")
         cfg = real.build_dataset(cfg)
+        attrib.mark("dataset_build_dispatch")
+        import jax
+
+        jax.block_until_ready(
+            [jax.tree_util.tree_leaves(x)
+             for x in (real.train_data, real.valid_data, real.test_data)])
         data_s = time.time() - t0
-        attrib.mark("dataset_build")
+        attrib.mark("dataset_build_execute")
         trainer = Trainer(cfg, logger)
         pretrained = load_pretrained(cfg, trainer)
         attrib.mark("load_pretrained")
