@@ -349,7 +349,7 @@ def bench_dense_replay(roundtrip_s, target_n=STRESS_N, frames=100):
 V5E_PEAK_BF16 = 197e12  # one v5e chip, bf16 MXU peak FLOP/s
 
 
-def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
+def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=-1,
                      dtype="float32", steps=10, batched=None):
     """One finetune BPTT step (reference hot loop simulators.py:659-832) at
     paper hyperparameters: ``batch_windows``-channel batch x 10-frame
@@ -372,6 +372,13 @@ def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
     from piml_tpu.scene import Scene
     from piml_tpu.train.trainer import make_optimizer
 
+    # unroll=-1: pin the steady-state-optimal fully-unrolled BPTT form.
+    # This row measures the amortized per-step cost (compile once, step
+    # forever); the trainer's auto policy now prefers the scanned small-
+    # program form for short finetune budgets (simulator.py, r5), so the
+    # bench must ask for the long-run schedule explicitly.
+    if unroll < 0:
+        unroll = 10  # = valid_steps, the full BPTT window below
     cfg = PIMLConfig(
         model="pinnsf_bm", dataset_name="gc2344", dropout=0.0, skip_frames=25,
         valid_steps=10, ft_batch_size=batch_windows, learning_rate=2e-4,
@@ -462,6 +469,7 @@ def bench_train_step(roundtrip_s, batch_windows=32, remat=None, unroll=0,
     out = {
         "batch_windows": int(batch.num_channels),
         "bptt_frames": int(batch.num_frames),
+        "bptt_unroll": int(unroll),
         "n_agent_slots": int(n_slots),
         "s_per_step": per_step,
         "steps_per_sec": 1.0 / per_step,

@@ -111,6 +111,16 @@ class PIMLConfig:
     ft_patience: int = 5
     finetune_lr_decay: float = 1.0
     finetune_wd_aug: float = 1.0
+    unify_train_slots: bool = True     # pad finetune train scenes' agent
+                                       # axis to a common slot count so all
+                                       # window batches share ONE shape —
+                                       # one ft_epoch program instead of
+                                       # one per scene (3x less trace/
+                                       # compile/cache traffic at the GC
+                                       # paper config; the padded slots are
+                                       # inert NaN rows, loss-neutral).
+                                       # Costs ~13% extra slots on a
+                                       # dispatch-latency-bound step.
     ft_lr_decay2: float = 0.0          # corrector-branch LR multiplier (pinnsf_res / base)
     # The reference swaps patience/ft_patience inside train() (simulators.py:393).
     compat_swapped_patience: bool = True

@@ -197,18 +197,32 @@ class FinetuneDataset:
         raw = apply_config_augmentation(self.raw, cfg)
         cfg = cfg.replace(time_unit=_check_time_unit(raw))
         ti_sample = None
+        train_ti = []
         for split, scenes in raw.items():
             for scene in scenes:
                 ti = make_time_indexed(cfg, scene, polar=self.polar)
                 ti_sample = ti
                 if split == "train":
-                    self.train_data.append(
-                        to_channeled(ti, cfg.valid_steps, "slice")
-                    )
+                    train_ti.append(ti)
                 elif split == "valid":
                     self.valid_data.append(ti)
                 else:
                     self.test_data.append(ti)
+        if cfg.unify_train_slots and len(train_ti) > 1:
+            # one batch shape across scenes → ONE ft_epoch program (the
+            # per-scene slot counts at the GC paper config are 192/219/248;
+            # three shape groups cost 3x the BPTT trace + compile + a
+            # 3-entry compile-cache footprint, compile_attrib_r5cold.json).
+            # pad_agents' inert NaN slots never spawn, are never selected
+            # as neighbors, and carry zero prediction masks, so losses and
+            # metrics are unchanged (allclose, not bit-equal: masked sums
+            # reduce over a longer zero-padded axis).
+            from .views import pad_agents
+
+            n_max = max(t.num_pedestrians for t in train_ti)
+            train_ti = [pad_agents(t, n_max) for t in train_ti]
+        self.train_data = [to_channeled(t, cfg.valid_steps, "slice")
+                           for t in train_ti]
         return _publish_dims(cfg, ti_sample)
 
 

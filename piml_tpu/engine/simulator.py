@@ -277,7 +277,18 @@ def training_rollout_loss(
     remat = cfg.remat_features
     if remat is None:
         remat = not small
-    unroll = cfg.bptt_unroll or (batch.num_frames if small else 1)
+    # r5 wall-aware amendment to the fusion policy: full unroll buys
+    # ~3.9 ms/step at paper scale but the unrolled program serializes to
+    # ~60 MB per batch-shape group — 234 s cold XLA compile and, through a
+    # remote-device tunnel, ~112 s of compile-cache RETRIEVAL per run
+    # (compile_attrib_r5cold/r5warm.json), against ~0.4 s/epoch of steady-
+    # state savings.  Break-even is ~20 epochs with a local on-disk cache
+    # and ~300 through the tunnel, so auto keeps the scanned (small-program)
+    # form unless the configured epoch budget is long enough to amortize;
+    # steady-state throughput benches pin bptt_unroll explicitly.
+    amortized = cfg.epochs >= 100
+    unroll = cfg.bptt_unroll or (
+        batch.num_frames if small and amortized else 1)
     ecfg = dataclasses.replace(
         engine_config(
             cfg, retire=False, track_collisions=True,
@@ -408,10 +419,20 @@ def training_rollout_loss(
     cp_loss = jnp.zeros(())
     cp_acc = jnp.zeros(())
     if cfg.collision_pred_weight > 0:
-        pred_c = outs.coll_pred * frame_active[..., None]
-        true_c = outs.true_coll * frame_active[..., None]
+        # gate per-slot by the engine's own liveness mask: the reference's
+        # dynamic tensors hold ONLY live agents (simulators.py:781-832), so
+        # rows for not-yet-spawned / padded capacity slots must not reach
+        # the BCE — a zero-feature row contributes -log(1-sigmoid(b)) > 0
+        # per slot otherwise (caught by the unify_train_slots parity test:
+        # padding doubled collision_pred_loss before this mask)
+        live = outs.mask * frame_active  # (C, T, N)
+        pred_c = outs.coll_pred * live[..., None]
+        true_c = outs.true_coll * live[..., None]
         cp_loss = losses.binary_cross_entropy(pred_c, true_c, "sum") * cfg.collision_pred_weight
-        cp_acc = jnp.mean((jnp.round(pred_c) == true_c).astype(jnp.float32))
+        n_live = jnp.maximum(jnp.sum(live), 1.0) * outs.coll_pred.shape[-1]
+        cp_acc = jnp.sum(
+            (jnp.round(pred_c) == true_c).astype(jnp.float32)
+            * live[..., None]) / n_live
         loss = loss + cp_loss
 
     return TrainingRolloutLoss(

@@ -504,7 +504,10 @@ class Trainer:
 
         stochastic = cfg.dropout > 0
 
-        @jax.jit
+        # NOT separately jitted: ft_step only runs inside ft_epoch's scan
+        # body, and a nested jit traces the full BPTT loss a second time
+        # (~5.8 s of the finetune setup, compile_attrib_r5cold.json
+        # per_program: ft_step and ft_epoch_fn each ~5.8 s of trace)
         def ft_step(params, opt_state, batch: ChanneledData, rng):
             def loss_fn(p):
                 out = training_rollout_loss(
@@ -565,6 +568,11 @@ class Trainer:
             save_params(checkpoint_path(cfg, True), state.params)
             best_params = state.params
             t_ck = time.time()
+            # the epoch-0 checkpoint write is the first hard sync point of
+            # the finetune: it absorbs every async dispatch above it
+            # (params init/merge, opt init), so attribute it separately
+            # from the baseline validation
+            compile_attrib.mark("ft_epoch0_ckpt")
             state.best_val = validate()
             self.logger.info(
                 f"finetune setup: init+warm-start {t_init - t_setup:.1f} s, "

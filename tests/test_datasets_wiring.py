@@ -238,3 +238,82 @@ def test_pad_channels_stacked_matches_per_batch(tmp_path, toy_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg="padded stack"), want, got)
+
+
+def test_unify_train_slots_loss_neutral(tmp_path, toy_paths):
+    """unify_train_slots pads every finetune train scene to one slot count
+    (ONE ft_epoch program instead of one per scene — the three GC paper
+    scenes' 192/219/248 slots cost 3x the BPTT trace/compile/cache traffic,
+    compile_attrib_r5cold.json).  The padded slots are inert: real-slot
+    data is bit-identical and the full training-rollout loss is allclose."""
+    import jax
+
+    from piml_tpu.data import FinetuneDataset, channel_batches
+    from piml_tpu.engine.simulator import training_rollout_loss
+    from piml_tpu.models import ModelSpec, build_finetune_model
+
+    from piml_tpu.scene import Scene
+
+    # the toy scenes share a slot count — double one scene's agents (the
+    # copies walk a parallel track 5 m away) so the two train scenes
+    # genuinely differ (as the GC paper scenes do: 192/219/248)
+    s1 = Scene.load(toy_paths[1])
+    off = np.float32(5.0)
+
+    def dup(x, axis, shift=False):
+        y = x + off if shift else x
+        return np.concatenate([np.asarray(x), np.asarray(y)], axis=axis)
+
+    grown = s1.replace(
+        position=dup(s1.position, 1, True), velocity=dup(s1.velocity, 1),
+        acceleration=dup(s1.acceleration, 1),
+        destination=dup(s1.destination, 1, True),
+        waypoints=dup(s1.waypoints, 1, True), dest_idx=dup(s1.dest_idx, 1),
+        dest_num=dup(s1.dest_num, 0), mask_p=dup(s1.mask_p, 1),
+        mask_v=dup(s1.mask_v, 1), mask_a=dup(s1.mask_a, 1))
+    shrunk_path = str(tmp_path / "toy1_grown.npy")
+    grown.save(shrunk_path)
+
+    def build(unify):
+        cfg_file = tmp_path / f"unify_{unify}.yaml"
+        cfg_file.write_text(yaml.safe_dump(
+            {"train": [toy_paths[0], shrunk_path], "valid": [toy_paths[2]]}))
+        ds = FinetuneDataset()
+        ds.load_data(str(cfg_file))
+        cfg = ds.build_dataset(_cfg(valid_steps=4, skip_frames=5,
+                                    unify_train_slots=unify,
+                                    collision_pred_weight=0.5,
+                                    collision_loss_weight=1.0))
+        return ds, cfg
+
+    base_ds, cfg = build(False)
+    uni_ds, _ = build(True)
+    ns = {d.position.shape[2] for d in base_ds.train_data}
+    assert len(ns) >= 2, "widened scene must differ in slot count"
+    n_max = max(ns)
+    assert {d.position.shape[2] for d in uni_ds.train_data} == {n_max}
+
+    # real-slot content is bit-identical after padding
+    for b, u in zip(base_ds.train_data, uni_ds.train_data):
+        n = b.position.shape[2]
+        np.testing.assert_array_equal(np.asarray(b.position),
+                                      np.asarray(u.position[:, :, :n]))
+        np.testing.assert_array_equal(np.asarray(b.mask_p_pred),
+                                      np.asarray(u.mask_p_pred[:, :, :n]))
+        # padded slots are inert: NaN positions, zero prediction masks
+        assert np.isnan(np.asarray(u.position[:, :, n:])).all()
+        assert (np.asarray(u.mask_p_pred[:, :, n:]) == 0).all()
+
+    model = build_finetune_model(ModelSpec.from_config(cfg))
+    b0 = channel_batches(base_ds.train_data, 2, np.random.RandomState(3))[0]
+    u0 = channel_batches(uni_ds.train_data, 2, np.random.RandomState(3))[0]
+    params = model.init(jax.random.PRNGKey(0), b0.ped_features[0, 0],
+                        b0.obs_features[0, 0], b0.self_features[0, 0])
+    apply_fn = lambda p, pf, of, sf: model.apply(p, pf, of, sf)
+    lb = training_rollout_loss(params, apply_fn, cfg, b0)
+    lu = training_rollout_loss(params, apply_fn, cfg, u0)
+    np.testing.assert_allclose(float(lb.loss), float(lu.loss), rtol=1e-5)
+    np.testing.assert_allclose(float(lb.mse_loss), float(lu.mse_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(lb.collision_count),
+                               float(lu.collision_count), rtol=1e-6)

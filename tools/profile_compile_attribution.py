@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--tag", default="warm")
     ap.add_argument("--suffix", default="shared1")
     ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--unroll", type=int, default=0,
+                    help="override cfg.bptt_unroll (0 = auto policy); "
+                         "--unroll 1 forces the scanned BPTT form")
+    ap.add_argument("--remat", type=int, default=-1,
+                    help="-1 = auto, 0/1 force remat_features off/on")
     cli = ap.parse_args()
 
     from piml_tpu.data import FinetuneDataset
@@ -47,6 +52,10 @@ def main():
     with CompileAttribution() as attrib:
         cfg = paper_cfg(epochs=cli.epochs).replace(
             model_name_suffix=cli.suffix, resume=False)
+        if cli.unroll:
+            cfg = cfg.replace(bptt_unroll=cli.unroll)
+        if cli.remat >= 0:
+            cfg = cfg.replace(remat_features=bool(cli.remat))
         t0 = time.time()
         real = FinetuneDataset()
         real.load_data(cfg.ft_data_config)
@@ -68,6 +77,8 @@ def main():
     out = attrib.summary()
     out["dataset_build_s"] = round(data_s, 3)
     out["epochs"] = cli.epochs
+    out["bptt_unroll"] = cli.unroll
+    out["remat"] = cli.remat
     out["cache_dir"] = os.environ.get("PIML_COMPILE_CACHE", "(default)")
     print(json.dumps(out, indent=2))
     path = os.path.join(ROOT, f"compile_attrib_{cli.tag}.json")
