@@ -185,11 +185,16 @@ class PIMLConfig:
                                        # on at dense sizes where live
                                        # activations would dominate HBM)
     bptt_unroll: int = 0               # scan unroll for the finetune BPTT
-                                       # rollout; 0 = auto (full unroll for
-                                       # small steps so XLA fuses across time
-                                       # steps; 1 at dense sizes).  Measured
-                                       # at paper size: 14.4 -> 10.5 ms/step
-                                       # (train_step_fusion.json)
+                                       # rollout; 0 = auto = scanned (1).
+                                       # Full unroll (= window length) buys
+                                       # ~3.9 ms/step at paper size
+                                       # (train_step_fusion.json) but costs
+                                       # a ~60 MB program per batch shape
+                                       # (234 s cold compile / 112 s cache
+                                       # retrieval through a device tunnel,
+                                       # compile_attrib_r5*.json): opt in
+                                       # explicitly for long fixed-epoch
+                                       # runs
     channel_batched_bptt: Optional[bool] = None
                                        # finetune rollout loop nesting:
                                        # True = scan over time with the

@@ -279,16 +279,16 @@ def training_rollout_loss(
         remat = not small
     # r5 wall-aware amendment to the fusion policy: full unroll buys
     # ~3.9 ms/step at paper scale but the unrolled program serializes to
-    # ~60 MB per batch-shape group — 234 s cold XLA compile and, through a
-    # remote-device tunnel, ~112 s of compile-cache RETRIEVAL per run
+    # ~60 MB per batch-shape group — 234 s of cold XLA compile and, through
+    # a remote-device tunnel, ~112 s of compile-cache RETRIEVAL per run
     # (compile_attrib_r5cold/r5warm.json), against ~0.4 s/epoch of steady-
     # state savings.  Break-even is ~20 epochs with a local on-disk cache
-    # and ~300 through the tunnel, so auto keeps the scanned (small-program)
-    # form unless the configured epoch budget is long enough to amortize;
-    # steady-state throughput benches pin bptt_unroll explicitly.
-    amortized = cfg.epochs >= 100
-    unroll = cfg.bptt_unroll or (
-        batch.num_frames if small and amortized else 1)
+    # and ~300 through the tunnel — and with early stopping the configured
+    # cap wildly overpredicts actual epochs (the paper finetune caps at
+    # 1000 and stops at ~22), so auto ALWAYS takes the scanned small-
+    # program form; long-run users and steady-state throughput benches pin
+    # cfg.bptt_unroll (= the window length) explicitly.
+    unroll = cfg.bptt_unroll or 1
     ecfg = dataclasses.replace(
         engine_config(
             cfg, retire=False, track_collisions=True,

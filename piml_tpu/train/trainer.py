@@ -373,7 +373,9 @@ class Trainer:
         self.tx = make_optimizer(cfg, finetune=False)
         if params is None:
             params = self.init_params(train_data)
-        opt_state = self.tx.init(params)
+        # one program, not an eager zeros_like per leaf (same deferred-op
+        # backlog class as the finetune setup stall — see finetune())
+        opt_state = jax.jit(self.tx.init)(params)
         state = TrainState(params, opt_state)
         best_params = params
         patience_limit = cfg.ft_patience if cfg.compat_swapped_patience else cfg.patience
@@ -469,27 +471,36 @@ class Trainer:
         sample = train_batches[0] if train_batches is not None \
             else train_scenes[0]
         self.rng, key = jax.random.split(self.rng)
-        # jitted init: one program instead of an eager per-layer op storm
-        # (measured ~22 s of the finetune setup through the TPU tunnel)
-        params = jax.jit(self.model.init)(
-            key, sample.ped_features[0, 0], sample.obs_features[0, 0],
-            sample.self_features[0, 0],
-        )
-        t_init = time.time()
         if pretrained is None:
             pre_path = checkpoint_path(cfg, finetuned=False)
             if os.path.exists(pre_path):
                 spec_pre = ModelSpec.from_config(cfg, name=pretrain_model_name(cfg.model))
                 pre_model = build_model(spec_pre)
-                template = jax.jit(pre_model.init)(
-                    jax.random.PRNGKey(0), sample.ped_features[0, 0],
-                    sample.obs_features[0, 0], sample.self_features[0, 0],
-                )
+                # structure-only template: load_params needs the tree shape,
+                # not materialized arrays
+                template = jax.eval_shape(
+                    pre_model.init, jax.random.PRNGKey(0),
+                    sample.ped_features[0, 0], sample.obs_features[0, 0],
+                    sample.self_features[0, 0])
                 pretrained = load_params(pre_path, template)
-        if pretrained is not None:
-            params = merge_pretrained(params, pretrained)
+        t_init = time.time()
 
-        opt_state = self.tx.init(params)
+        # ONE fused program for the whole state setup: model init + partial
+        # warm-start merge + optimizer init.  The eager form dispatched a
+        # few hundred per-leaf device ops whose deferred executions the
+        # first validation sync then absorbed — a 873-1216 s stall through
+        # the tunnel (compile_attrib_r5new_*.json; faulthandler stall trace
+        # pins the wait at evaluate_rollouts' first host sync).  merge
+        # decisions are shape-static, so the merge traces to pure data flow.
+        def _setup(k, pf, of, sf, pre):
+            p = self.model.init(k, pf, of, sf)
+            if pre is not None:
+                p = merge_pretrained(p, pre)
+            return p, self.tx.init(p)
+
+        params, opt_state = jax.jit(_setup)(
+            key, sample.ped_features[0, 0], sample.obs_features[0, 0],
+            sample.self_features[0, 0], pretrained)
         state = TrainState(params, opt_state)
         compile_attrib.mark("ft_init_warmstart")
 

@@ -14,6 +14,16 @@ Run twice to separate cold-cache from warm-cache behavior:
 
 Writes compile_attrib_{tag}.json.  Needs the shared1 pretrain checkpoint
 (tools/run_gc_experiment.py --stage pretrain --set model_name_suffix=shared1).
+
+CAVEAT (r5, measured): on the tunneled axon platform, REGISTERING the
+jax.monitoring listeners can itself induce a multi-minute unattributed
+stall at the first blocking host sync (6/6 attribution runs stalled
+250-1216 s; the identical phases in listener-free processes — the official
+CLI runs, bench.py, tools/probe_validate_stall.py — never stall; the
+faulthandler trace shows the main thread parked in jax Array._value while
+the platform's C++ callback threads presumably contend on the GIL-holding
+listener).  Treat per-phase walls from this tool as upper bounds; take
+headline walls from a listener-free run.
 """
 
 import argparse
@@ -29,6 +39,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    # PIML_STALL_TRACE=1: dump all thread stacks to stderr every 60 s —
+    # catches the unattributed multi-minute stall (compile_attrib_r5new_cold
+    # .json: 873 s in ft_baseline_validate with ~0 s of compile/trace/cache
+    # events) in the act.
+    if os.environ.get("PIML_STALL_TRACE"):
+        import faulthandler
+
+        faulthandler.dump_traceback_later(60, repeat=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="warm")
     ap.add_argument("--suffix", default="shared1")

@@ -101,7 +101,9 @@ def load_pretrained(cfg, trainer, sample=None):
     ped = np.zeros((1, 2, cfg.ped_feature_dim), np.float32)
     obs = np.zeros((1, 2, cfg.obs_feature_dim), np.float32)
     sf = np.zeros((1, cfg.self_feature_dim), np.float32)
-    template = jax.jit(trainer.model.init)(jax.random.PRNGKey(0), ped, obs, sf)
+    # structure-only template (no device program at all)
+    template = jax.eval_shape(trainer.model.init, jax.random.PRNGKey(0),
+                              ped, obs, sf)
     return load_params(checkpoint_path(cfg, finetuned=False), template)
 
 
