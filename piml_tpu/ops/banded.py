@@ -86,10 +86,67 @@ def auto_window(n: int, m: int, grid_dim: int, tile_n: int) -> int:
     return min(_round_up(max(int(want), LANE), LANE), _round_up(m, LANE))
 
 
+# resident-column ceiling: the (8, m_pad) f32 table costs 32 B/object of
+# VMEM when kept resident; past this the kernel switches to the DMA
+# variant (band-sized VMEM scratch, table in HBM)
+_COLS_RESIDENT_BYTES = 8e6
+# work-block budget for the (tile_n, window) temporaries (same 9 B/elem
+# coefficient as ops/pairwise.py's fitted VMEM model, headroom under the
+# 16.5 MB scoped limit for rows/outputs/scratch)
+_WORK_BYTES = 12e6
+
+
+def auto_tile_n(n: int, m: int, grid_dim: int, tile_n: int = 128,
+                window: Optional[int] = None) -> int:
+    """Shrink the row tile until the (tile_n, window) work block fits VMEM
+    — at ~1M objects the auto window is ~10k lanes wide, and a 128-row
+    tile's temporaries alone would exceed the scoped limit.  Deterministic
+    in (n, m, grid_dim[, window]), so ``banded_params`` and the kernel
+    launcher agree without widening the public (grid_dim, window)
+    contract.  ``window``: size against an EXPLICIT window (e.g. the
+    2×-widened fallback pass) instead of the auto one."""
+    while tile_n > 16 and \
+            (9 * tile_n + 32) * (window if window is not None
+                                 else auto_window(n, m, grid_dim, tile_n)) \
+            > _WORK_BYTES:
+        tile_n //= 2
+    return tile_n
+
+
 def _kernel(ws_ref, geo_ref, rows_ref, cols_ref, out_d_ref, out_i_ref, *,
             window: int, cos_thr: float, self_pairs: bool, k: int,
             grid_dim: int):
     i = pl.program_id(0)
+    # start shipped in LANE units so Mosaic can statically prove alignment
+    start = ws_ref[i] * LANE
+    blk = cols_ref[:, pl.ds(start, window)]          # 8, W
+    _tile_compute(blk, geo_ref, rows_ref, out_d_ref, out_i_ref,
+                  cos_thr=cos_thr, self_pairs=self_pairs, k=k,
+                  grid_dim=grid_dim)
+
+
+def _kernel_dma(ws_ref, geo_ref, rows_ref, cols_hbm, out_d_ref, out_i_ref,
+                scratch, sem, *, window: int, cos_thr: float,
+                self_pairs: bool, k: int, grid_dim: int):
+    """Huge-M variant: the cell-sorted column table stays in HBM and each
+    tile DMAs only its (8, window) band into a VMEM scratch — VMEM use is
+    O(window), independent of M, which lifts the ~300k-object resident
+    ceiling (32 B/object of the whole table in VMEM) to HBM capacity.
+    Single-buffered: the band is ~200 KB (≈0.3 µs at HBM bandwidth)
+    against a compute phase thousands of times longer."""
+    i = pl.program_id(0)
+    start = ws_ref[i] * LANE
+    dma = pltpu.make_async_copy(
+        cols_hbm.at[:, pl.ds(start, window)], scratch, sem)
+    dma.start()
+    dma.wait()
+    _tile_compute(scratch[:, :], geo_ref, rows_ref, out_d_ref, out_i_ref,
+                  cos_thr=cos_thr, self_pairs=self_pairs, k=k,
+                  grid_dim=grid_dim)
+
+
+def _tile_compute(blk, geo_ref, rows_ref, out_d_ref, out_i_ref, *,
+                  cos_thr: float, self_pairs: bool, k: int, grid_dim: int):
     tile_n = rows_ref.shape[0]
 
     xa = rows_ref[:, 0:1]
@@ -106,9 +163,6 @@ def _kernel(ws_ref, geo_ref, rows_ref, cols_ref, out_d_ref, out_i_ref, *,
     aya = jnp.clip(jnp.floor((ya - geo_ref[1]) / geo_ref[3]),
                    0.0, float(grid_dim - 1))
 
-    # start shipped in LANE units so Mosaic can statically prove alignment
-    start = ws_ref[i] * LANE
-    blk = cols_ref[:, pl.ds(start, window)]          # 8, W
     xb = blk[0:1, :]
     yb = blk[1:2, :]
     vb = blk[2:3, :]
@@ -189,7 +243,8 @@ def banded_params(n: int, m: int, k: int, tile_n: int = 128,
     if grid_dim is None:
         grid_dim = auto_grid_dim(m, k, fine=fine)
     if window is None:
-        window = auto_window(n, m, grid_dim, tile_n)
+        window = auto_window(n, m, grid_dim,
+                             auto_tile_n(n, m, grid_dim, tile_n))
     return grid_dim, window
 
 
@@ -239,9 +294,15 @@ def topk_neighbors_banded(
     n = position.shape[0]
     m = objects.shape[0]
     k_eff = min(k, m)
+    explicit_window = window is not None
     grid_dim, window = banded_params(n, m, k, tile_n, grid_dim, window,
                                      fine=dist_threshold is not None)
     g = grid_dim
+    # same shrink banded_params used for an auto window; an EXPLICITLY
+    # widened window (the huge-M fallback pass) sizes against itself so
+    # its work block also fits VMEM
+    tile_n = auto_tile_n(n, m, g, tile_n,
+                         window=window if explicit_window else None)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -317,12 +378,29 @@ def topk_neighbors_banded(
     # lowers to lax.map over the batch — the kernel has no native batching
     # rule, and sequential frames are the right schedule for huge-N
     # batches anyway
+    # resident vs DMA column table: below the ceiling the whole (8, m_pad)
+    # table lives in VMEM (no per-tile copies); above it, the table stays
+    # in HBM and each tile DMAs its (8, window) band into scratch
+    resident = 32 * m_pad <= _COLS_RESIDENT_BYTES
+    self_p = same_objects or self_ids is not None
+
     @jax.custom_batching.sequential_vmap
     def _run(ws, geo_, rows_, cols_):
+        if resident:
+            kern = functools.partial(_kernel, window=window, cos_thr=cos_thr,
+                                     self_pairs=self_p, k=k_eff, grid_dim=g)
+            cols_spec = pl.BlockSpec((8, m_pad), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+            scratch = []
+        else:
+            kern = functools.partial(_kernel_dma, window=window,
+                                     cos_thr=cos_thr, self_pairs=self_p,
+                                     k=k_eff, grid_dim=g)
+            cols_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+            scratch = [pltpu.VMEM((8, window), jnp.float32),
+                       pltpu.SemaphoreType.DMA(())]
         return pl.pallas_call(
-            functools.partial(_kernel, window=window, cos_thr=cos_thr,
-                              self_pairs=same_objects or self_ids is not None,
-                              k=k_eff, grid_dim=g),
+            kern,
             interpret=interpret,
             grid=grid,
             in_specs=[
@@ -330,9 +408,9 @@ def topk_neighbors_banded(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile_n, 8), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, m_pad), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+                cols_spec,
             ],
+            scratch_shapes=scratch,
             out_specs=(
                 pl.BlockSpec((tile_n, LANE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),

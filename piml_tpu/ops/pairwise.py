@@ -186,6 +186,19 @@ def _kernel(rows_ref, cols_ref, out_d_ref, out_i_ref, *, tile_m: int,
     out_i_ref[:, :] = jnp.pad(top_i, ((0, 0), (0, LANE - k)))
 
 
+def pair_pass_fits(m: int) -> bool:
+    """True when the dense streaming kernel's auto tile picker can fit M
+    columns under the scoped-VMEM model — callers composing the banded
+    selector's lax.cond fallback must not TRACE the dense kernel past
+    this (it raises), and switch to a widened-window banded fallback
+    instead (physics/features.py)."""
+    try:
+        _pick_tiles(m, None, None)
+        return True
+    except ValueError:
+        return False
+
+
 def _pick_tiles(m: int, tile_n: Optional[int],
                 tile_m: Optional[int]) -> Tuple[int, int]:
     """Wide column tiles amortize the k-pass merge (measured: (64, 12800)

@@ -253,6 +253,26 @@ def gather_filtered(
 # relative features
 # ----------------------------------------------------------------------------
 
+def _banded_wide_fallback(position, heading, k, sight_angle, dist_threshold):
+    """Fallback branch of the banded selector's exactness cond past ~300k
+    objects, where the dense O(N·M) twin cannot fit VMEM on one core
+    (ops/pairwise.py pair_pass_fits): a DOUBLED-window banded pass —
+    rare (the 1.3×-slack window already proves exact on uniform crowds)
+    and still O(N·window).  At this scale NO framework can run the exact
+    dense pass (the pair tensor alone is ≥0.7 TB), so the hard
+    bit-identical-to-dense guarantee necessarily relaxes to band coverage
+    at 2× the auto window."""
+    from piml_tpu.ops.banded import banded_params, topk_neighbors_banded
+
+    n_r = position.shape[0]
+    g2, w2 = banded_params(n_r, n_r, k, fine=True)
+    w2 = min(2 * w2, ((n_r + 127) // 128) * 128)
+    bd, bi, _ = topk_neighbors_banded(position, heading, k, sight_angle,
+                                      dist_threshold=dist_threshold,
+                                      grid_dim=g2, window=w2)
+    return bd, bi
+
+
 def _pad_object_axis(x: jax.Array, minimum: int = 128):
     """Pad the object (second-to-last) axis up to a lane-aligned multiple.
 
@@ -400,14 +420,19 @@ def relative_features(
 
     def _ped_dense():
         if use_pallas:
-            from piml_tpu.ops.pairwise import topk_neighbors_pallas
+            from piml_tpu.ops.pairwise import (pair_pass_fits,
+                                               topk_neighbors_pallas)
 
-            # pallas/banded indices address the un-padded table; all tables
-            # agree on the first n_real rows, so the shared gather below
-            # stays valid
-            return topk_neighbors_pallas(
-                position, heading, k_ped, cfg.sight_angle_ped
-            )
+            if pair_pass_fits(state_pad.shape[0]):
+                # pallas/banded indices address the un-padded table; all
+                # tables agree on the first n_real rows, so the shared
+                # gather below stays valid
+                return topk_neighbors_pallas(
+                    position, heading, k_ped, cfg.sight_angle_ped
+                )
+            return _banded_wide_fallback(position, heading, k_ped,
+                                         cfg.sight_angle_ped,
+                                         cfg.dist_threshold_ped)
         return nearby_in_sight(
             position, state_pad[..., :2], heading, k_ped, cfg.sight_angle_ped,
             same_objects=True, topk_group=cfg.topk_group,

@@ -286,3 +286,41 @@ def test_batched_banded_grad_matches_per_channel():
         assert np.isfinite(np.asarray(b_)).all(), name
         np.testing.assert_allclose(np.asarray(b_), np.asarray(r_),
                                    rtol=0, atol=0, err_msg=name)
+
+
+def test_banded_dma_variant_bit_identical(rng, monkeypatch):
+    """The huge-M DMA kernel (column table in HBM, per-tile (8, window)
+    band DMA'd into VMEM scratch — lifts the ~300k-object resident-table
+    VMEM ceiling) must be bit-identical to the resident kernel.  Forced
+    here by shrinking the resident ceiling to one byte."""
+    import piml_tpu.ops.banded as B
+
+    pos, heading = _scene(rng, 1500, extent=60.0, inward=True)
+    d_r, i_r, ex_r = topk_neighbors_banded(pos, heading, 6, 90.0,
+                                           dist_threshold=4.0)
+    monkeypatch.setattr(B, "_COLS_RESIDENT_BYTES", 1)
+    d_d, i_d, ex_d = B.topk_neighbors_banded.__wrapped__(
+        pos, heading, 6, 90.0, dist_threshold=4.0)
+    assert bool(ex_r) and bool(ex_d)
+    np.testing.assert_array_equal(np.asarray(d_r), np.asarray(d_d))
+    np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_d))
+
+
+def test_huge_m_fallback_is_banded_not_dense(rng):
+    """Past the dense twin's VMEM ceiling (pair_pass_fits False) the
+    selector's cond fallback is the doubled-window banded pass — the
+    dense kernel would raise at trace time.  The widened pass must match
+    the dense kernel on a scene the auto window already covers."""
+    from piml_tpu.ops.pairwise import pair_pass_fits
+    from piml_tpu.physics.features import _banded_wide_fallback
+
+    assert pair_pass_fits(12_685)
+    assert not pair_pass_fits(409_600)
+
+    pos, heading = _scene(rng, 1500, extent=60.0, inward=True)
+    d_w, i_w = _banded_wide_fallback(pos, heading, 6, 90.0, 4.0)
+    d_p, i_p = topk_neighbors_pallas(pos, heading, 6, 90.0)
+    np.testing.assert_array_equal(np.asarray(d_w), np.asarray(d_p))
+    finite = np.isfinite(np.asarray(d_p))
+    np.testing.assert_array_equal(np.asarray(i_w)[finite],
+                                  np.asarray(i_p)[finite])
