@@ -686,6 +686,20 @@ def _preflight_backend(timeout_s: float = 300.0):
                             if proc.stderr else f"rc={proc.returncode}")
 
 
+def bench_scale_ceiling(roundtrip_s, n=1_048_576, frames=3):
+    """One-chip scale ceiling: a full closed-loop rollout step per frame
+    at N=1,048,576 concurrent agents (constant GC density, trained
+    fixture weights, banded DMA column-table kernel — DESIGN §12).  Runs
+    few frames: the point is that one chip CLOSES THE LOOP at 1M agents,
+    the per-frame cost curve lives in rollout_scaling.json."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from rollout_scaling import run_one
+
+    return run_one(n, frames, roundtrip_s)
+
+
 def main():
     _preflight_backend()
     try:
@@ -714,6 +728,10 @@ def main():
     # bf16 NN branch on the fused step (1.22x over f32 once unrolled;
     # dispatch-bound pre-fusion it was 0.98x — train_step_fusion.json)
     train_bf16 = _safe(bench_train_step, roundtrip, dtype="bfloat16")
+    # single-chip scale ceiling (r5): one million concurrent agents per
+    # frame through the DMA column-table banded kernel (DESIGN §12); full
+    # sweep in rollout_scaling.json
+    scale_1m = _safe(bench_scale_ceiling, roundtrip)
 
     vs_baseline = None
     stress_vs = None
@@ -754,6 +772,7 @@ def main():
             "finetune_train_step_denseN": r(train_denseN, 6),
             "finetune_train_step_dense": r(train_dense, 6),
             "finetune_train_step_bf16": r(train_bf16, 6),
+            "rollout_1048576_agents": r(scale_1m),
         },
     }))
 
