@@ -253,20 +253,40 @@ def gather_filtered(
 # relative features
 # ----------------------------------------------------------------------------
 
+def _gather_neighbor_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """``(..., M, d)[(..., N, k)] → (..., N, k, d)`` neighbor-row gather.
+
+    ``jnp.take_along_axis`` with a broadcast trailing index lowers to a
+    per-ELEMENT gather on TPU — measured 192 ms for (524k, 6) neighbor
+    rows of 6 floats — while plain row indexing lowers to a row gather:
+    8.7 ms for the same bytes (22×).  At ≥262k agents the feature pass
+    was gather-bound on exactly this (DESIGN §12)."""
+    if table.ndim == 2:
+        return table[idx]
+    return jax.vmap(_gather_neighbor_rows)(table, idx)
+
+
 def _banded_wide_fallback(position, heading, k, sight_angle, dist_threshold):
     """Fallback branch of the banded selector's exactness cond past ~300k
     objects, where the dense O(N·M) twin cannot fit VMEM on one core
-    (ops/pairwise.py pair_pass_fits): a DOUBLED-window banded pass —
-    rare (the 1.3×-slack window already proves exact on uniform crowds)
-    and still O(N·window).  At this scale NO framework can run the exact
-    dense pass (the pair tensor alone is ≥0.7 TB), so the hard
-    bit-identical-to-dense guarantee necessarily relaxes to band coverage
-    at 2× the auto window."""
+    (ops/pairwise.py pair_pass_fits): a HALF-GRID banded pass.
+
+    Halving grid_dim doubles the cell size, which doubles every row's
+    distance-to-box-edge bound — the predicate's feature-exactness clause
+    ``bound > dist_threshold`` then holds by construction wherever
+    2 × (2·cs) exceeds the threshold (measured: the uniform 524k/1M
+    scaling scenes fail the fine grid's bound on a tail of rows but are
+    fully exact on the half grid).  Cost ~2× the primary pass (row width
+    doubles), still O(N·window).  At this scale NO framework can run the
+    exact dense pass (the pair tensor alone is ≥0.7 TB), so residual
+    inexactness (threshold beyond even the doubled bound) relaxes to
+    9×9-fine-cell coverage rather than raising."""
     from piml_tpu.ops.banded import banded_params, topk_neighbors_banded
 
     n_r = position.shape[0]
-    g2, w2 = banded_params(n_r, n_r, k, fine=True)
-    w2 = min(2 * w2, ((n_r + 127) // 128) * 128)
+    g1, _ = banded_params(n_r, n_r, k, fine=True)
+    g2 = max(g1 // 2, 3)
+    _, w2 = banded_params(n_r, n_r, k, grid_dim=g2, fine=True)
     bd, bi, _ = topk_neighbors_banded(position, heading, k, sight_angle,
                                       dist_threshold=dist_threshold,
                                       grid_dim=g2, window=w2)
@@ -473,11 +493,7 @@ def relative_features(
                                      _ped_dense)
     else:
         ped_dist, ped_idx = _ped_dense()
-    gathered = jnp.take_along_axis(
-        state_pad,
-        ped_idx.reshape(ped_idx.shape[:-2] + (-1,))[..., None],
-        axis=-2,
-    ).reshape(ped_idx.shape + (state.shape[-1],))
+    gathered = _gather_neighbor_rows(state_pad, ped_idx)
     rel = gathered - state[..., :, None, :]
     keep = (ped_dist <= cfg.dist_threshold_ped)[..., None]
     ped_features = jnp.where(keep & jnp.isfinite(rel), rel, 0.0)
@@ -547,11 +563,7 @@ def relative_features(
         obs_dist, obs_idx = _obs_dense()
     zeros = jnp.zeros_like(obs)
     obs_state = jnp.concatenate([obs, zeros, zeros], axis=-1)  # ..., M_pad, 6
-    gathered_o = jnp.take_along_axis(
-        obs_state,
-        obs_idx.reshape(obs_idx.shape[:-2] + (-1,))[..., None],
-        axis=-2,
-    ).reshape(obs_idx.shape + (obs_state.shape[-1],))
+    gathered_o = _gather_neighbor_rows(obs_state, obs_idx)
     rel_o = gathered_o - state[..., :, None, :]
     keep_o = (obs_dist <= cfg.dist_threshold_obs)[..., None]
     obs_features = jnp.where(keep_o & jnp.isfinite(rel_o), rel_o, 0.0)
